@@ -1,0 +1,435 @@
+"""YAML-facing building blocks (conv zoo + ViL wrapper blocks), NHWC.
+
+Functional re-design of the blocks the shipped ``640-base*.yaml`` graphs
+use (ref:ultralytics/nn/modules/block.py:1649-2466, conv.py:37-130) plus
+the standard conv zoo needed by generic YOLO yamls.  All image tensors
+are NHWC; ``Concat`` therefore concatenates on axis=-1 where the torch
+reference uses dim=1.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from xlstm_yolo_tpu.nn.layers import (
+    RMSNorm,
+    SequenceConv2d,
+    ViLBlockPair,
+    VitPatchEmbed,
+    VitPosEmbed2d,
+    f32,
+)
+
+
+def autopad(k: int, p: int | None = None, d: int = 1) -> int:
+    """'same'-style padding for odd kernels (parity: conv.py:29-34)."""
+    if d > 1:
+        k = d * (k - 1) + 1
+    return k // 2 if p is None else p
+
+
+class ConvBNAct(nn.Module):
+    """Conv2d + BatchNorm + activation — the ultralytics ``Conv`` block.
+
+    Parity: conv.py:37-56.  BN hyperparams follow the ultralytics
+    initialize_weights override (eps=1e-3, torch momentum 0.03 ->
+    flax momentum 0.97).  NHWC.
+    """
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: int | None = None
+    g: int = 1
+    d: int = 1
+    act: str | None = "silu"  # silu | gelu | relu | None
+    training: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        pad = autopad(self.k, self.p, self.d)
+        y = nn.Conv(
+            self.c2,
+            (self.k, self.k),
+            strides=(self.s, self.s),
+            padding=[(pad, pad), (pad, pad)],
+            feature_group_count=self.g,
+            kernel_dilation=(self.d, self.d),
+            use_bias=False,
+            name="conv",
+        )(x)
+        y = nn.BatchNorm(
+            use_running_average=not self.training,
+            momentum=0.97,
+            epsilon=1e-3,
+            name="bn",
+        )(y)
+        return _act(y, self.act)
+
+
+def _act(y, act: str | None):
+    if act == "silu":
+        return nn.silu(y)
+    if act == "gelu":
+        return nn.gelu(y)
+    if act == "relu":
+        return nn.relu(y)
+    return y
+
+
+class DWConvBlock(ConvBNAct):
+    """Depthwise conv block (parity: conv.py:102-108)."""
+
+    @nn.compact
+    def __call__(self, x):
+        g = math.gcd(x.shape[-1], self.c2)
+        pad = autopad(self.k, self.p, self.d)
+        y = nn.Conv(
+            self.c2, (self.k, self.k), strides=(self.s, self.s),
+            padding=[(pad, pad), (pad, pad)], feature_group_count=g,
+            kernel_dilation=(self.d, self.d), use_bias=False, name="conv",
+        )(x)
+        y = nn.BatchNorm(
+            use_running_average=not self.training, momentum=0.97, epsilon=1e-3,
+            name="bn",
+        )(y)
+        return _act(y, self.act)
+
+
+def upsample_nearest(x, scale: int = 2):
+    """NHWC nearest-neighbour upsample (torch nn.Upsample parity)."""
+    B, H, W, C = x.shape
+    return jnp.repeat(jnp.repeat(x, scale, axis=1), scale, axis=2)
+
+
+def concat_channels(xs: Sequence[jax.Array]) -> jax.Array:
+    """Concat on channels; torch dim=1 (NCHW) == NHWC axis -1."""
+    return jnp.concatenate(xs, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# ViL wrapper blocks used by the shipped configs
+# ---------------------------------------------------------------------------
+
+
+class VitPatchEmbedBlock(nn.Module):
+    """YAML wrapper for VitPatchEmbed (parity: block.py:1713-1766).
+
+    Input NHWC image, output flattened sequence (B, S, dim) — the
+    reference keeps the (B, H', W', dim) grid and lets the next block
+    flatten; we flatten here and let VitPosEmbedBlock reshape, which is
+    layout-equivalent.
+    """
+
+    dim: int
+    resolution: Sequence[int]
+    patch_size: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x):
+        y = VitPatchEmbed(dim=self.dim, patch_size=tuple(self.patch_size), name="module")(x)
+        B, H, W, D = y.shape
+        return y  # keep grid; pos-embed block consumes grid
+
+
+class VitPosEmbedBlock(nn.Module):
+    """YAML wrapper for VitPosEmbed2d (parity: block.py:1772-1816)."""
+
+    dim: int
+    seqlens: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x):
+        y = VitPosEmbed2d(seqlens=tuple(self.seqlens), dim=self.dim, name="module")(x)
+        B = y.shape[0]
+        return y.reshape(B, -1, self.dim)  # flatten to (B, S, D) for ViL blocks
+
+
+class ViLBlockPairBlock(nn.Module):
+    """YAML wrapper for ViLBlockPair (parity: block.py:1884-1971)."""
+
+    dim: int
+    seqlens: Sequence[int]
+    chunk_size: int = 256
+    qkv_block_size: int = 16
+    conv_kind: str = "2d"
+    conv_kernel_size: int = 3
+    proj_bias: bool = True
+    norm_bias: bool = True
+    drop_path: float = 0.0
+    num_blocks: int = 1
+    training: bool = False
+    chunkwise_kernel: str = "chunkwise--native_autograd"
+    compute_dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        if x.ndim == 4:  # grid input -> flatten
+            B, H, W, D = x.shape
+            x = x.reshape(B, H * W, D)
+        return ViLBlockPair(
+            dim=self.dim, drop_path=self.drop_path, conv_kind=self.conv_kind,
+            conv_kernel_size=self.conv_kernel_size, proj_bias=self.proj_bias,
+            norm_bias=self.norm_bias, seqlens=tuple(self.seqlens),
+            num_blocks=self.num_blocks, chunk_size=self.chunk_size,
+            qkv_block_size=self.qkv_block_size, training=self.training,
+            chunkwise_kernel=self.chunkwise_kernel,
+            compute_dtype=self.compute_dtype, name="module",
+        )(x)
+
+
+class SequenceToImage(nn.Module):
+    """(B, S, D) -> (B, H, W, D) NHWC image (parity: block.py:1974-2021;
+    the reference emits NCHW — NHWC is the TPU-native equivalent and all
+    downstream blocks here consume NHWC)."""
+
+    seqlens: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x):
+        B, S, D = x.shape
+        h, w = self.seqlens
+        assert S == h * w, f"S={S} != {h}*{w}"
+        return x.reshape(B, h, w, D)
+
+
+class PatchMerger(nn.Module):
+    """Learned-query cross-attention token pooling.
+
+    Parity: the *active* PatchMerger definition (block.py:2450-2461):
+    LayerNorm -> sim = queries @ x^T * dim^-0.5 -> softmax over tokens ->
+    out = attn @ x.  Queries init ~ N(0, 1) like torch.randn.
+    """
+
+    dim: int
+    num_tokens_out: int
+
+    @nn.compact
+    def __call__(self, x):  # (B, N, D) -> (B, M, D)
+        xn = nn.LayerNorm(name="norm")(x)
+        queries = self.param(
+            "queries", nn.initializers.normal(stddev=1.0),
+            (self.num_tokens_out, self.dim), f32,
+        )
+        sim = jnp.einsum(
+            "md,bnd->bmn", queries.astype(xn.dtype), xn, preferred_element_type=f32
+        ) * (self.dim**-0.5)
+        attn = jax.nn.softmax(sim, axis=-1)
+        return jnp.einsum(
+            "bmn,bnd->bmd", attn.astype(xn.dtype), xn, preferred_element_type=f32
+        ).astype(x.dtype)
+
+
+class LSBlock(nn.Module):
+    """Local spatial block: dw3x3 + BN -> 1x1 + GELU -> 1x1, residual.
+
+    Parity: block.py:2172-2193.  NHWC.
+    """
+
+    dim: int
+    training: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(
+            self.dim, (3, 3), padding="SAME", feature_group_count=self.dim,
+            name="fc1",
+        )(x)
+        y = nn.BatchNorm(
+            use_running_average=not self.training, momentum=0.97, epsilon=1e-3,
+            name="norm",
+        )(y)
+        y = nn.Conv(self.dim, (1, 1), name="fc2")(y)
+        y = nn.gelu(y)
+        y = nn.Conv(self.dim, (1, 1), name="fc3")(y)
+        return x + y
+
+
+class RGBlock(nn.Module):
+    """Gated conv MLP: 1x1 -> split (x, v); gelu(dw3x3(x) + x) * v -> 1x1.
+
+    Parity: block.py:2149-2170.  hidden = 2 * (dim * mlp_ratio) / 3.
+    """
+
+    dim: int
+    hidden_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        local = int(2 * self.hidden_dim / 3)
+        y = nn.Conv(local * 2, (1, 1), name="fc1")(x)
+        a, v = jnp.split(y, 2, axis=-1)
+        a = nn.gelu(
+            nn.Conv(local, (3, 3), padding="SAME", feature_group_count=local, name="dwconv")(a)
+            + a
+        )
+        return nn.Conv(self.dim, (1, 1), name="fc2")(a * v)
+
+
+class ViLFusionBlock(nn.Module):
+    """FPN fusion block: 1x1 in_proj + LSBlock + RMSNorm + ViLBlockPair + RGBlock.
+
+    Parity: block.py:2367-2447.  NHWC in/out.
+    """
+
+    c1: int
+    dim: int
+    seqlens: Sequence[int]
+    chunk_size: int = 256
+    qkv_block_size: int = 16
+    mlp_ratio: float = 4.0
+    n: int = 1
+    drop_path: float = 0.0
+    conv_kind: str = "2d"
+    training: bool = False
+    chunkwise_kernel: str = "chunkwise--native_autograd"
+    compute_dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        if self.c1 != self.dim:
+            x = nn.Conv(self.dim, (1, 1), use_bias=False, name="in_proj_conv")(x)
+            x = nn.BatchNorm(
+                use_running_average=not self.training, momentum=0.97, epsilon=1e-3,
+                name="in_proj_bn",
+            )(x)
+            x = nn.silu(x)
+
+        x_local = LSBlock(dim=self.dim, training=self.training, name="lsblock")(x)
+
+        B, H, W, C = x_local.shape
+        seq = x_local.reshape(B, H * W, C)
+        seq_norm = RMSNorm(self.dim, eps=1e-3, name="norm")(seq)
+        y = seq_norm
+        for idx in range(self.n):
+            y = ViLBlockPairBlock(
+                dim=self.dim, seqlens=self.seqlens, chunk_size=self.chunk_size,
+                qkv_block_size=self.qkv_block_size, conv_kind=self.conv_kind,
+                drop_path=self.drop_path, training=self.training,
+                chunkwise_kernel=self.chunkwise_kernel,
+                compute_dtype=self.compute_dtype, name=f"vil_{idx}",
+            )(y)
+        seq = seq + y  # drop_path is identity at the shipped drop_prob=0
+        x_global = seq.reshape(B, H, W, C)
+        x = x + x_global
+
+        # MLP branch (RGBlock) on the fused map
+        if self.mlp_ratio > 0:
+            xn = RMSNorm(self.dim, eps=1e-6, name="norm2")(x.reshape(B, H * W, C))
+            xm = RGBlock(
+                dim=self.dim, hidden_dim=int(self.dim * self.mlp_ratio), name="mlp"
+            )(xn.reshape(B, H, W, C))
+            x = x + xm
+        return x
+
+
+class SimpleStem(nn.Module):
+    """Two stride-2 convs stem (parity: block.py:2211-2229). NHWC out."""
+
+    embed_dim: int
+    ks: int = 3
+    training: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = self.embed_dim // 2
+        y = ConvBNAct(hidden, self.ks, 2, act="gelu", training=self.training, name="conv1")(x)
+        y = ConvBNAct(self.embed_dim, self.ks, 2, act="silu", training=self.training, name="conv2")(y)
+        return y
+
+
+class VisionClueMerge(nn.Module):
+    """Space-to-depth merge then 1x1 conv (used by XSS-style configs).
+
+    Parity: block.py:2080-2100 — stacks the four pixel-phase subgrids
+    channel-wise then projects to c2 with Conv+BN+SiLU.
+    """
+
+    c2: int
+    training: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        y = jnp.concatenate(
+            [x[:, ::2, ::2, :], x[:, 1::2, ::2, :], x[:, ::2, 1::2, :], x[:, 1::2, 1::2, :]],
+            axis=-1,
+        )
+        return ConvBNAct(self.c2, 1, 1, training=self.training, name="pw")(y)
+
+
+# ---------------------------------------------------------------------------
+# standard YOLO conv zoo (subset used by common yamls)
+# ---------------------------------------------------------------------------
+
+
+class Bottleneck(nn.Module):
+    """Standard bottleneck (parity: block.py Bottleneck)."""
+
+    c2: int
+    shortcut: bool = True
+    g: int = 1
+    k: tuple = (3, 3)
+    e: float = 0.5
+    training: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        c_ = int(self.c2 * self.e)
+        y = ConvBNAct(c_, self.k[0], 1, training=self.training, name="cv1")(x)
+        y = ConvBNAct(self.c2, self.k[1], 1, g=self.g, training=self.training, name="cv2")(y)
+        return x + y if self.shortcut and x.shape[-1] == self.c2 else y
+
+
+class C2f(nn.Module):
+    """Cross-stage partial with 2 convs (parity: block.py C2f)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = False
+    g: int = 1
+    e: float = 0.5
+    training: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        c = int(self.c2 * self.e)
+        y = ConvBNAct(2 * c, 1, 1, training=self.training, name="cv1")(x)
+        parts = list(jnp.split(y, 2, axis=-1))
+        for i in range(self.n):
+            parts.append(
+                Bottleneck(
+                    c, self.shortcut, self.g, k=(3, 3), e=1.0,
+                    training=self.training, name=f"m_{i}",
+                )(parts[-1])
+            )
+        return ConvBNAct(self.c2, 1, 1, training=self.training, name="cv2")(
+            jnp.concatenate(parts, axis=-1)
+        )
+
+
+class SPPF(nn.Module):
+    """Spatial pyramid pooling (fast) (parity: block.py SPPF)."""
+
+    c2: int
+    k: int = 5
+    training: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        c_ = x.shape[-1] // 2
+        y = ConvBNAct(c_, 1, 1, training=self.training, name="cv1")(x)
+        pad = self.k // 2
+        pool = lambda t: nn.max_pool(
+            t, (self.k, self.k), strides=(1, 1), padding=[(pad, pad), (pad, pad)]
+        )
+        y1 = pool(y)
+        y2 = pool(y1)
+        y3 = pool(y2)
+        return ConvBNAct(self.c2, 1, 1, training=self.training, name="cv2")(
+            jnp.concatenate([y, y1, y2, y3], axis=-1)
+        )

@@ -1,0 +1,161 @@
+"""Detect / v10Detect heads with on-device DFL decode + topk postprocess.
+
+Re-design of ref:ultralytics/nn/modules/head.py:181-333,779-812 in NHWC.
+The v10 (end2end) path needs no NMS: its one2one branch is trained with
+topk=1 assignment, so inference is a pure top-k/gather — trivially
+XLA-friendly (the reference's ``postprocess`` at head.py:311 is already
+gather-only).  Anchors and strides are recomputed from static feature
+shapes at trace time: no buffers, no ``self.shape`` caching.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from xlstm_yolo_tpu.nn.blocks import ConvBNAct
+from xlstm_yolo_tpu.utils.tal import dist2bbox, make_anchors
+
+f32 = jnp.float32
+
+
+def dfl_decode(dist: jax.Array, reg_max: int = 16) -> jax.Array:
+    """Distribution-focal decode: softmax over bins -> expectation.
+
+    Parity: the DFL conv module (ref:nn/modules/block.py:189-208) — a
+    frozen conv whose weights are arange(reg_max), i.e. an expectation.
+    ``dist``: (B, A, 4*reg_max) -> (B, A, 4).
+    """
+    B, A, _ = dist.shape
+    x = dist.reshape(B, A, 4, reg_max)
+    p = jax.nn.softmax(x.astype(f32), axis=-1)
+    return (p @ jnp.arange(reg_max, dtype=f32)).astype(dist.dtype)
+
+
+def topk_postprocess(preds: jax.Array, max_det: int, nc: int = 80) -> jax.Array:
+    """(B, A, 4+nc) -> (B, max_det, 6) [xyxy, score, cls] via two top-ks.
+
+    Parity: head.py:311-333 (NMS-free v10 postprocess).
+    """
+    B, A, _ = preds.shape
+    boxes, scores = preds[..., :4], preds[..., 4:]
+    k = min(max_det, A)
+    best = scores.max(-1)  # (B, A)
+    _, idx = jax.lax.top_k(best, k)  # (B, k)
+    boxes = jnp.take_along_axis(boxes, idx[..., None], axis=1)  # (B, k, 4)
+    scores = jnp.take_along_axis(scores, idx[..., None], axis=1)  # (B, k, nc)
+    flat_scores, flat_idx = jax.lax.top_k(scores.reshape(B, -1), k)  # (B, k)
+    anchor_idx = flat_idx // nc
+    cls_idx = flat_idx % nc
+    boxes = jnp.take_along_axis(boxes, anchor_idx[..., None], axis=1)
+    return jnp.concatenate(
+        [boxes, flat_scores[..., None], cls_idx[..., None].astype(boxes.dtype)], axis=-1
+    )
+
+
+class Detect(nn.Module):
+    """YOLO detect head (DFL box branch + cls branch), NHWC.
+
+    Parity: head.py:181-333.  ``end2end`` adds the detached one2one
+    branch; strides derive from ``img_size`` / feature size at trace
+    time.  Training returns raw per-level maps; inference returns
+    decoded predictions.
+    """
+
+    nc: int = 80
+    ch: Sequence[int] = ()
+    reg_max: int = 16
+    end2end: bool = False
+    max_det: int = 300
+    legacy: bool = False
+    training: bool = False
+    img_size: int = 640  # nominal size used only for cls bias init
+
+    @property
+    def no(self):
+        return self.nc + self.reg_max * 4
+
+    def _branches(self, feats, strides, suffix: str):
+        """Run box (cv2) + cls (cv3) towers on each level, concat channels."""
+        c2 = max(16, self.ch[0] // 4, self.reg_max * 4)
+        c3 = max(self.ch[0], min(self.nc, 100))
+        outs = []
+        for i, x in enumerate(feats):
+            box = ConvBNAct(c2, 3, training=self.training, name=f"cv2{suffix}_{i}_0")(x)
+            box = ConvBNAct(c2, 3, training=self.training, name=f"cv2{suffix}_{i}_1")(box)
+            box = nn.Conv(
+                4 * self.reg_max, (1, 1),
+                bias_init=nn.initializers.constant(1.0),
+                name=f"cv2{suffix}_{i}_2",
+            )(box)
+
+            cin = x.shape[-1]
+            if self.legacy:
+                cls = ConvBNAct(c3, 3, training=self.training, name=f"cv3{suffix}_{i}_0")(x)
+                cls = ConvBNAct(c3, 3, training=self.training, name=f"cv3{suffix}_{i}_1")(cls)
+            else:
+                # light depthwise cls tower (head.py:208-218 / v10 at :805)
+                cls = ConvBNAct(cin, 3, g=cin, training=self.training, name=f"cv3{suffix}_{i}_0_0")(x)
+                cls = ConvBNAct(c3, 1, training=self.training, name=f"cv3{suffix}_{i}_0_1")(cls)
+                cls = ConvBNAct(c3, 3, g=c3, training=self.training, name=f"cv3{suffix}_{i}_1_0")(cls)
+                cls = ConvBNAct(c3, 1, training=self.training, name=f"cv3{suffix}_{i}_1_1")(cls)
+            # cls bias: log(5 / nc / (img/stride)^2)  (head.py:294-308)
+            s = strides[i]
+            bias_val = math.log(5 / self.nc / (self.img_size / s) ** 2)
+            cls = nn.Conv(
+                self.nc, (1, 1),
+                bias_init=nn.initializers.constant(bias_val),
+                name=f"cv3{suffix}_{i}_2",
+            )(cls)
+            outs.append(jnp.concatenate([box, cls], axis=-1))
+        return outs
+
+    def _decode(self, level_maps, strides):
+        """Per-level (B, H, W, no) -> (B, A, 4+nc) with DFL + dist2bbox."""
+        B = level_maps[0].shape[0]
+        feat_shapes = [m.shape[1:3] for m in level_maps]
+        anchors, stride_t = make_anchors(feat_shapes, strides, 0.5)  # (A,2),(A,1)
+        flat = jnp.concatenate(
+            [m.reshape(B, -1, self.no) for m in level_maps], axis=1
+        )  # (B, A, no)
+        box, cls = flat[..., : self.reg_max * 4], flat[..., self.reg_max * 4 :]
+        dist = dfl_decode(box, self.reg_max)  # (B, A, 4)
+        xywh = not self.end2end
+        dbox = dist2bbox(dist, anchors[None], xywh=xywh) * stride_t[None, ..., 0:1]
+        return jnp.concatenate([dbox, jax.nn.sigmoid(cls.astype(f32)).astype(dbox.dtype)], -1)
+
+    @nn.compact
+    def __call__(self, feats: list, img_hw: tuple[int, int] | None = None):
+        ih = img_hw[0] if img_hw else self.img_size
+        strides = tuple(ih / x.shape[1] for x in feats)
+
+        if self.end2end:
+            feats_detached = [jax.lax.stop_gradient(x) for x in feats]
+            one2one = self._branches(feats_detached, strides, suffix="_o2o")
+            one2many = self._branches(feats, strides, suffix="")
+            if self.training:
+                return {"one2many": one2many, "one2one": one2one}
+            y = self._decode(one2one, strides)
+            y = topk_postprocess(y, self.max_det, self.nc)
+            return y, {"one2many": one2many, "one2one": one2one}
+
+        one2many = self._branches(feats, strides, suffix="")
+        if self.training:
+            return one2many
+        y = self._decode(one2many, strides)
+        return y, one2many
+
+
+class v10Detect(Detect):
+    """End2end detect head used by the shipped configs (head.py:779-812).
+
+    Structurally the cls tower equals the non-legacy Detect tower
+    (DWConv == grouped Conv at equal in/out channels), so only the
+    end2end flag differs here.
+    """
+
+    end2end: bool = True

@@ -1,0 +1,577 @@
+"""Vision-LSTM core modules in flax.linen (TPU-native layouts).
+
+Functional re-design of ref:ultralytics/nn/modules/vision_lstm/vision_lstm2.py
+and vision_lstm_util.py.  Conventions that differ from the torch reference
+on purpose (TPU-first):
+
+- images are NHWC (XLA's native TPU conv layout), sequences are (B, S, D);
+- ``training`` is a module *attribute*, not a call argument, so graphs are
+  pure functions of inputs (params are structurally identical either way);
+- mLSTM head compute runs through the kernel registry
+  (:mod:`xlstm_yolo_tpu.ops`) — chunkwise scan / Pallas on TPU;
+- initializers numerically match the reference (small_init / wang_init /
+  gate-bias schedules) so converted torch weights drop in.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from xlstm_yolo_tpu.ops import backend as ops_backend
+
+f32 = jnp.float32
+
+FORWARD = "rowwise_from_top_left"
+BACKWARD = "rowwise_from_bot_right"
+
+
+# ---------------------------------------------------------------------------
+# initializers (parity: vision_lstm2.py:20-49)
+# ---------------------------------------------------------------------------
+
+def small_init(dim: int) -> Callable:
+    """Normal(0, sqrt(2/(5*dim))) — 'Transformers without Tears' init."""
+    return nn.initializers.normal(stddev=math.sqrt(2.0 / (5.0 * dim)))
+
+
+def wang_init(dim: int, num_blocks: int) -> Callable:
+    return nn.initializers.normal(stddev=2.0 / max(num_blocks, 1) / math.sqrt(dim))
+
+
+def bias_linspace_init(start: float, end: float) -> Callable:
+    def init(key, shape, dtype=f32):
+        assert len(shape) == 1
+        return jnp.linspace(start, end, shape[0], dtype=dtype)
+
+    return init
+
+
+# ---------------------------------------------------------------------------
+# norms
+# ---------------------------------------------------------------------------
+
+
+class ResidualLayerNorm(nn.Module):
+    """LayerNorm whose scale parameterizes as (1 + w), w init 0.
+
+    Parity: the reference's custom LayerNorm (vision_lstm2.py:881-925,
+    residual_weight=True).  ``bias`` toggles the beta term.
+    """
+
+    dim: int
+    eps: float = 1e-5
+    use_weight: bool = True
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        xf = x.astype(f32)
+        mean = xf.mean(-1, keepdims=True)
+        var = xf.var(-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        if self.use_weight:
+            w = self.param("weight", nn.initializers.zeros, (self.dim,), f32)
+            y = y * (1.0 + w)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.dim,), f32)
+            y = y + b
+        return y.astype(x.dtype)
+
+
+class MultiHeadLayerNorm(nn.Module):
+    """Per-head group normalization over (B, NH, S, DH).
+
+    Parity: vision_lstm2.py:928-944 — group_norm with num_groups=NH over
+    the flattened (NH*DH) features, scale=(1+w) residual weight.
+    Normalization statistics are computed per (b, s, head) over DH.
+    """
+
+    num_heads: int
+    head_dim: int
+    eps: float = 1e-6
+    use_weight: bool = True
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):  # (B, NH, S, DH)
+        B, NH, S, DH = x.shape
+        xf = x.astype(f32)
+        mean = xf.mean(-1, keepdims=True)
+        var = xf.var(-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        if self.use_weight:
+            w = self.param("weight", nn.initializers.zeros, (NH * DH,), f32)
+            y = y * (1.0 + w).reshape(1, NH, 1, DH)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (NH * DH,), f32)
+            y = y + b.reshape(1, NH, 1, DH)
+        return y.astype(x.dtype)
+
+
+class RMSNorm(nn.Module):
+    """Standard RMSNorm (torch.nn.RMSNorm parity, weight init ones)."""
+
+    dim: int
+    eps: float = 1e-6
+    use_weight: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        xf = x.astype(f32)
+        y = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + self.eps)
+        if self.use_weight:
+            w = self.param("weight", nn.initializers.ones, (self.dim,), f32)
+            y = y * w
+        return y.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# drop path (stochastic depth)
+# ---------------------------------------------------------------------------
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth: x + mask * branch(x) / keep_prob.
+
+    Parity: vision_lstm_util.py:285 (mask formulation — the reference's
+    batch-subset gather variant is a GPU memory trick; fixed-shape
+    masking is the TPU-correct equivalent).
+    """
+
+    drop_prob: float = 0.0
+    training: bool = False
+    scale_by_keep: bool = True
+
+    @nn.compact
+    def __call__(self, x, branch_out):
+        if self.drop_prob == 0.0 or not self.training:
+            return x + branch_out
+        keep = 1.0 - self.drop_prob
+        rng = self.make_rng("droppath")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape).astype(x.dtype)
+        if self.scale_by_keep:
+            mask = mask / keep
+        return x + branch_out * mask
+
+
+# ---------------------------------------------------------------------------
+# sequence convs / patch + pos embed
+# ---------------------------------------------------------------------------
+
+
+class SequenceConv2d(nn.Module):
+    """(B, S, D) -> depthwise 2d conv on the (H, W) grid -> (B, S, D).
+
+    Parity: vision_lstm_util.py:96-113.  NHWC throughout.
+    """
+
+    dim: int
+    out_dim: int | None = None
+    kernel_size: int = 3
+    seqlens: Sequence[int] | None = None
+    use_bias: bool = True
+    groups: int | None = None  # default: depthwise
+
+    @nn.compact
+    def __call__(self, x):
+        B, S, D = x.shape
+        if self.seqlens is None:
+            h = int(round(math.sqrt(S)))
+            assert h * h == S, f"S={S} is not square; pass seqlens"
+            w = h
+        else:
+            h, w = self.seqlens
+        out_dim = self.out_dim or self.dim
+        groups = self.groups if self.groups is not None else self.dim
+        xi = x.reshape(B, h, w, D)
+        y = nn.Conv(
+            out_dim,
+            (self.kernel_size, self.kernel_size),
+            padding="SAME",
+            feature_group_count=groups,
+            use_bias=self.use_bias,
+            name="conv",
+        )(xi)
+        return y.reshape(B, h * w, out_dim)
+
+
+class VitPatchEmbed(nn.Module):
+    """Non-overlapping conv patch embedding, xavier-uniform init.
+
+    Parity: vision_lstm_util.py:139-198.  Input NHWC (B, H, W, C),
+    output grid (B, H', W', dim).
+    """
+
+    dim: int
+    patch_size: Sequence[int] = (8, 8)
+
+    @nn.compact
+    def __call__(self, x):
+        ph, pw = self.patch_size
+        assert x.shape[1] % ph == 0 and x.shape[2] % pw == 0, (
+            f"input {x.shape} not divisible by patch {self.patch_size}"
+        )
+        return nn.Conv(
+            self.dim,
+            (ph, pw),
+            strides=(ph, pw),
+            padding="VALID",
+            kernel_init=_xavier_uniform_flat,
+            name="proj",
+        )(x)
+
+
+def _xavier_uniform_flat(key, shape, dtype=f32):
+    """Xavier-uniform computed on the flattened (out, in*kh*kw) view.
+
+    The reference flattens the conv weight to 2D before xavier init
+    (vision_lstm_util.py:186-188), which changes the fan computation
+    vs. per-kernel xavier.
+    """
+    kh, kw, cin, cout = shape
+    fan_in = cin * kh * kw
+    fan_out = cout
+    limit = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+
+class VitPosEmbed2d(nn.Module):
+    """Learnable 2d positional embedding with bicubic resize.
+
+    Parity: vision_lstm_util.py:210-263 (learnable branch, trunc-normal
+    0.02 init, bicubic interpolation for resolution changes).
+    Input/output: (B, H, W, D).
+    """
+
+    seqlens: Sequence[int]
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        embed = self.param(
+            "embed",
+            nn.initializers.truncated_normal(stddev=0.02),
+            (1, *self.seqlens, self.dim),
+            f32,
+        )
+        if x.shape[1:3] != embed.shape[1:3]:
+            embed = jax.image.resize(
+                embed, (1, x.shape[1], x.shape[2], self.dim), method="bicubic"
+            )
+        return x + embed.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# FeedForward (SiLU-gated, fused weights)
+# ---------------------------------------------------------------------------
+
+
+class FeedForward(nn.Module):
+    """Fused SwiGLU-style FFN: silu(gate) * z -> down.
+
+    Parity: vision_lstm2.py:136-215 (weight_mode="fused"): up dim is
+    round_up(dim * 8/3, 64); gate is the first half of the fused up
+    projection.
+    """
+
+    dim: int
+    proj_factor: float = 2.6667
+    round_up_to: int = 64
+    use_bias: bool = True
+    num_blocks: int = 1
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        up = int(
+            -(-(self.dim * self.proj_factor) // self.round_up_to) * self.round_up_to
+        )
+        gz = nn.Dense(
+            2 * up,
+            use_bias=self.use_bias,
+            kernel_init=small_init(self.dim),
+            dtype=self.dtype,
+            name="proj_up_gate_z",
+        )(x)
+        gate, z = jnp.split(gz, [up], axis=-1)
+        h = nn.silu(gate) * z
+        return nn.Dense(
+            self.dim,
+            use_bias=self.use_bias,
+            kernel_init=wang_init(self.dim, self.num_blocks),
+            dtype=self.dtype,
+            name="proj_down",
+        )(h)
+
+
+# ---------------------------------------------------------------------------
+# MatrixLSTMCell
+# ---------------------------------------------------------------------------
+
+
+def soft_cap(x, cap: float):
+    """cap * tanh(x / cap) — bounds gate preactivations (vision_lstm2.py:755)."""
+    return cap * jnp.tanh(x / cap)
+
+
+class MatrixLSTMCell(nn.Module):
+    """Gate projection + chunkwise mLSTM + per-head out-norm.
+
+    Parity: vision_lstm2.py:623-769.  The fused ifgate Dense maps the
+    concatenated (q, k, v) to 2*NH gate preactivations (soft-capped at
+    15), the kernel registry runs the sigmoid-input-gate chunkwise
+    recurrence, and a MultiHeadLayerNorm(+bias) normalizes the output.
+    Gate bias init: i = -10, f = linspace(3, 6) across heads.
+    """
+
+    dim: int
+    num_heads: int
+    chunk_size: int = 64
+    mode: str = "train_with_padding"  # train | train_with_padding | inference
+    chunkwise_kernel: str = "chunkwise--native_autograd"
+    sequence_kernel: str = "sequence--native"
+    step_kernel: str = "step--native"
+    gate_soft_cap: float = 15.0
+    norm_bias: bool = True
+    eps: float = 5e-5
+    compute_dtype: Any = None  # cast q/k/v for the kernel (e.g. bf16)
+
+    @nn.compact
+    def __call__(self, q, k, v, state=None):
+        B, S, H = q.shape
+        NH = self.num_heads
+        DH = H // NH
+
+        gate_in = jnp.concatenate([q, k, v], axis=-1)
+        if_preact = nn.Dense(
+            2 * NH,
+            kernel_init=nn.initializers.zeros,
+            bias_init=_ifgate_bias_init(NH),
+            name="ifgate",
+            dtype=f32,
+        )(gate_in.astype(f32))
+        if_preact = soft_cap(if_preact, self.gate_soft_cap)
+        i_pre, f_pre = jnp.split(if_preact, 2, axis=-1)  # (B, S, NH)
+        i_pre = jnp.swapaxes(i_pre, -1, -2)  # (B, NH, S)
+        f_pre = jnp.swapaxes(f_pre, -1, -2)
+
+        def heads(x):
+            return jnp.swapaxes(x.reshape(B, S, NH, DH), 1, 2)  # (B, NH, S, DH)
+
+        cd = self.compute_dtype or q.dtype
+        qh, kh, vh = heads(q).astype(cd), heads(k).astype(cd), heads(v).astype(cd)
+
+        cfg = ops_backend.mLSTMBackendConfig(
+            chunkwise_kernel=self.chunkwise_kernel,
+            sequence_kernel=self.sequence_kernel,
+            step_kernel=self.step_kernel,
+            mode=self.mode,
+            chunk_size=self.chunk_size,
+            eps=self.eps,
+            return_last_states=state is not None,
+        )
+        fn = ops_backend.make_backend(cfg)
+        if self.mode == "inference" and state is not None:
+            h, new_state = fn(qh, kh, vh, i_pre, f_pre, c_initial=state[0], n_initial=state[1])
+        else:
+            out = fn(qh, kh, vh, i_pre, f_pre)
+            h, new_state = (out if isinstance(out, tuple) else (out, None))
+
+        h = MultiHeadLayerNorm(
+            num_heads=NH, head_dim=DH, use_bias=self.norm_bias, eps=1e-6, name="outnorm"
+        )(h.astype(q.dtype))
+        h = jnp.swapaxes(h, 1, 2).reshape(B, S, H)
+        if state is not None:
+            return h, new_state
+        return h
+
+
+def _ifgate_bias_init(num_heads: int) -> Callable:
+    def init(key, shape, dtype=f32):
+        assert shape == (2 * num_heads,)
+        i_bias = jnp.full((num_heads,), -10.0, dtype)
+        f_bias = jnp.linspace(3.0, 6.0, num_heads, dtype=dtype)
+        return jnp.concatenate([i_bias, f_bias])
+
+    return init
+
+
+# ---------------------------------------------------------------------------
+# ViLLayer / ViLBlock / ViLBlockPair
+# ---------------------------------------------------------------------------
+
+
+class ViLLayer(nn.Module):
+    """One xLSTM vision layer (pre-norm mLSTM branch + pre-norm FFN branch).
+
+    Parity: vision_lstm2.py:218-350 ("grok refactor no gated Z"):
+      norm -> proj_up (dim -> 2*inner) -> split qk/v streams
+      qk: depthwise SequenceConv2d + SiLU -> qk_proj -> split q, k
+      v:  v_proj
+      mlstm cell -> + learnable_skip * conv_act -> proj_down -> +residual
+      ffn_norm -> FeedForward -> +residual
+    Direction ``rowwise_from_bot_right`` flips the sequence before the
+    branch and flips the branch output back.
+    """
+
+    dim: int
+    direction: str = FORWARD
+    expansion: int = 2
+    qkv_block_size: int = 4
+    proj_bias: bool = True
+    norm_bias: bool = True
+    conv_bias: bool = True
+    conv_kernel_size: int = 3
+    conv_kind: str = "2d"
+    seqlens: Sequence[int] | None = None
+    num_blocks: int = 1
+    gate_soft_cap: float = 15.0
+    ffn_proj_factor: float = 2.6667
+    ffn_round_up_to: int = 64
+    chunk_size: int = 64
+    drop_path: float = 0.0
+    training: bool = False
+    mode: str | None = None  # override cell mode; default from training
+    chunkwise_kernel: str = "chunkwise--native_autograd"
+    compute_dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        dim = self.dim
+        inner = self.expansion * dim
+        nh = inner // self.qkv_block_size
+
+        def mlstm_branch(xn):
+            if self.direction == BACKWARD:
+                xn = jnp.flip(xn, axis=1)
+            x_inner = nn.Dense(
+                2 * inner, use_bias=self.proj_bias, kernel_init=small_init(dim),
+                name="proj_up",
+            )(xn)
+            x_qk, x_v = jnp.split(x_inner, 2, axis=-1)
+            if self.conv_kind == "2d":
+                conv_out = SequenceConv2d(
+                    dim=inner, kernel_size=self.conv_kernel_size,
+                    seqlens=self.seqlens, use_bias=self.conv_bias, name="conv",
+                )(x_qk)
+            else:
+                conv_out = x_qk
+            x_qk_act = nn.silu(conv_out)
+            qk = nn.Dense(
+                2 * inner, use_bias=self.proj_bias, kernel_init=small_init(dim),
+                name="qk_proj",
+            )(x_qk_act)
+            q, k = jnp.split(qk, 2, axis=-1)
+            v = nn.Dense(
+                inner, use_bias=self.proj_bias, kernel_init=small_init(dim),
+                name="v_proj",
+            )(x_v)
+
+            mode = self.mode or ("train_with_padding" if self.training else "inference")
+            h = MatrixLSTMCell(
+                dim=inner, num_heads=nh, chunk_size=self.chunk_size, mode=mode,
+                gate_soft_cap=self.gate_soft_cap, norm_bias=self.norm_bias,
+                chunkwise_kernel=self.chunkwise_kernel,
+                compute_dtype=self.compute_dtype, name="mlstm_cell",
+            )(q, k, v)
+            skip = self.param("learnable_skip", nn.initializers.ones, (inner,), f32)
+            h = h + skip.astype(h.dtype) * x_qk_act
+            out = nn.Dense(
+                dim, use_bias=self.proj_bias,
+                kernel_init=wang_init(dim, self.num_blocks), name="proj_down",
+            )(h)
+            if self.direction == BACKWARD:
+                out = jnp.flip(out, axis=1)
+            return out
+
+        dp = DropPath(drop_prob=self.drop_path, training=self.training)
+        xn = RMSNorm(dim, eps=1e-6, use_weight=self.norm_bias, name="norm")(x)
+        x = dp(x, mlstm_branch(xn))
+        xf = RMSNorm(dim, eps=1e-6, use_weight=self.norm_bias, name="ffn_norm")(x)
+        ffn_out = FeedForward(
+            dim=dim, proj_factor=self.ffn_proj_factor,
+            round_up_to=self.ffn_round_up_to, use_bias=self.proj_bias,
+            num_blocks=self.num_blocks, name="ffn",
+        )(xf)
+        dp2 = DropPath(drop_prob=self.drop_path, training=self.training)
+        return dp2(x, ffn_out)
+
+
+class ViLBlock(nn.Module):
+    """Thin wrapper (parity: vision_lstm2.py:517-558)."""
+
+    dim: int
+    direction: str
+    drop_path: float = 0.0
+    conv_kind: str = "2d"
+    conv_kernel_size: int = 3
+    proj_bias: bool = True
+    norm_bias: bool = True
+    seqlens: Sequence[int] | None = None
+    num_blocks: int = 1
+    chunk_size: int = 256
+    qkv_block_size: int = 4
+    training: bool = False
+    chunkwise_kernel: str = "chunkwise--native_autograd"
+    compute_dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        return ViLLayer(
+            dim=self.dim, direction=self.direction, drop_path=self.drop_path,
+            conv_kind=self.conv_kind, conv_kernel_size=self.conv_kernel_size,
+            proj_bias=self.proj_bias, norm_bias=self.norm_bias,
+            seqlens=self.seqlens, num_blocks=self.num_blocks,
+            chunk_size=self.chunk_size, qkv_block_size=self.qkv_block_size,
+            training=self.training, chunkwise_kernel=self.chunkwise_kernel,
+            compute_dtype=self.compute_dtype, name="layer",
+        )(x)
+
+
+class ViLBlockPair(nn.Module):
+    """Forward traversal block + flipped traversal block.
+
+    Parity: vision_lstm2.py:1014-1079, including activation checkpointing
+    (jax.checkpoint / nn.remat) for long sequences (S >= 80*80) during
+    training — the TPU analog of torch.utils.checkpoint at the same
+    threshold.
+    """
+
+    dim: int
+    drop_path: float = 0.0
+    conv_kind: str = "2d"
+    conv_kernel_size: int = 3
+    proj_bias: bool = True
+    norm_bias: bool = True
+    seqlens: Sequence[int] | None = None
+    num_blocks: int = 1
+    chunk_size: int = 256
+    qkv_block_size: int = 4
+    training: bool = False
+    ckpt_thresh: int = 80 * 80
+    chunkwise_kernel: str = "chunkwise--native_autograd"
+    compute_dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        S = x.shape[1]
+        kw = dict(
+            dim=self.dim, drop_path=self.drop_path, conv_kind=self.conv_kind,
+            conv_kernel_size=self.conv_kernel_size, proj_bias=self.proj_bias,
+            norm_bias=self.norm_bias, seqlens=self.seqlens,
+            num_blocks=self.num_blocks, chunk_size=self.chunk_size,
+            qkv_block_size=self.qkv_block_size, training=self.training,
+            chunkwise_kernel=self.chunkwise_kernel, compute_dtype=self.compute_dtype,
+        )
+        block_cls = ViLBlock
+        if self.training and S >= self.ckpt_thresh:
+            block_cls = nn.remat(ViLBlock)
+        x = block_cls(direction=FORWARD, name="rowwise_from_top_left", **kw)(x)
+        x = block_cls(direction=BACKWARD, name="rowwise_from_bot_right", **kw)(x)
+        return x

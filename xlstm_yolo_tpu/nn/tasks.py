@@ -1,0 +1,285 @@
+"""YAML graph compiler + DetectionModel executor.
+
+Re-design of ref:ultralytics/nn/tasks.py:1073-1280 (parse_model) and
+:114-430 (BaseModel/DetectionModel): the same ``[from, n, module, args]``
+YAML DSL (the shipped ``640-base*.yaml`` files load unchanged) compiles
+to a flat tuple of layer specs; a flax module instantiates and executes
+them with savelist routing.  Everything is static under jit — stride
+discovery needs no dummy forward because shapes are known at trace time.
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import yaml
+from flax import linen as nn
+
+from xlstm_yolo_tpu.nn import blocks as B
+from xlstm_yolo_tpu.nn import head as H
+
+DEFAULT_CHUNKWISE_KERNEL = "chunkwise--native_autograd"
+
+
+def make_divisible(x: float, divisor: int = 8) -> int:
+    return int(math.ceil(x / divisor) * divisor)
+
+
+def yaml_model_load(path_or_dict) -> dict:
+    """Load a model YAML (accepts the reference's files verbatim)."""
+    if isinstance(path_or_dict, dict):
+        return dict(path_or_dict)
+    p = Path(path_or_dict)
+    with open(p) as fh:
+        d = yaml.safe_load(fh)
+    d["yaml_file"] = str(p)
+    return d
+
+
+# modules whose first YAML arg is the output-channel count and which take
+# (c1-prepended) standard args — parity with the base_modules set
+# (nn/tasks.py:1099-1143) restricted to what we implement.
+_BASE = {"Conv", "DWConv", "C2f", "SPPF", "Bottleneck", "SimpleStem"}
+_REPEAT = {"C2f"}
+
+
+def parse_model_specs(d: dict, ch: int = 3, scale: str | None = None):
+    """YAML dict -> (specs, savelist, per-layer channels).
+
+    Channel bookkeeping follows nn/tasks.py:1181-1266 for the module
+    families we support; each spec is a plain dict the model builder
+    consumes.
+    """
+    nc = d.get("nc", 80)
+    scales = d.get("scales")
+    depth, width, max_channels = 1.0, 1.0, float("inf")
+    if scales:
+        scale = scale or d.get("scale") or tuple(scales.keys())[1]
+        depth, width, max_channels = scales[scale]
+
+    ch_list = [ch]
+    specs, save = [], []
+    layers = list(d["backbone"]) + list(d["head"])
+    for i, (f, n, m, args) in enumerate(layers):
+        args = list(args)
+        # resolve string args ('nc', 'None', numeric literals) like the
+        # reference's locals()/literal_eval pass (nn/tasks.py:1174-1178)
+        import ast
+
+        for j, a in enumerate(args):
+            if isinstance(a, str):
+                if a == "nc":
+                    args[j] = nc
+                else:
+                    try:
+                        args[j] = ast.literal_eval(a)
+                    except (ValueError, SyntaxError):
+                        pass
+        name = m.replace("nn.", "") if isinstance(m, str) else m
+        n_rep = max(round(n * depth), 1) if n > 1 else n
+
+        c1 = ch_list[f] if isinstance(f, int) else None
+        kwargs: dict[str, Any] = {}
+
+        if name in _BASE:
+            c2 = args[0]
+            if c2 != nc:
+                c2 = make_divisible(min(c2, max_channels) * width, 8)
+            args = [c2, *args[1:]]
+            if name in _REPEAT:
+                kwargs["n"] = n_rep
+                n_rep = 1
+        elif name in {"VitPatchEmbedBlock"}:
+            c1, c2 = args[0], args[1]
+        elif name in {"VitPosEmbedBlock"}:
+            c2 = args[1]
+        elif name in {"ViLBlockPairBlock", "ViLFusionBlock", "ViLBlock"}:
+            c2 = args[1]
+        elif name == "VisionClueMerge":
+            c2 = args[1]
+        elif name in {"PatchMerger", "SequenceToImage", "Upsample"}:
+            c2 = ch_list[f]
+        elif name == "Concat":
+            c2 = sum(ch_list[x] for x in f)
+        elif name in {"Detect", "v10Detect"}:
+            kwargs["ch"] = tuple(ch_list[x] for x in f)
+            c2 = None
+        else:
+            raise ValueError(f"unsupported module '{m}' in model yaml (layer {i})")
+
+        specs.append(
+            dict(i=i, f=f, n=n_rep, module=name, args=args, kwargs=kwargs, c1=c1, c2=c2)
+        )
+        save.extend(x % i for x in ([f] if isinstance(f, int) else f) if x != -1)
+        if i == 0:
+            ch_list = []
+        ch_list.append(c2 if c2 is not None else (c1 or ch))
+    return specs, sorted(set(save)), ch_list
+
+
+def _vil_config(args_cfg: dict) -> dict:
+    return dict(
+        seqlens=tuple(args_cfg["seqlens"]),
+        chunk_size=int(args_cfg.get("chunk_size", 256)),
+        qkv_block_size=int(args_cfg.get("qkv_block_size", 16)),
+        conv_kind=args_cfg.get("conv_kind", "2d"),
+        drop_path=float(args_cfg.get("drop_path", 0.0)),
+    )
+
+
+def build_module(spec: dict, nc: int, training: bool, chunkwise_kernel: str,
+                 compute_dtype, img_size: int):
+    """Instantiate the flax module for one layer spec."""
+    name, args, kw = spec["module"], spec["args"], spec["kwargs"]
+    vilkw = dict(training=training, chunkwise_kernel=chunkwise_kernel,
+                 compute_dtype=compute_dtype)
+    mname = f"model_{spec['i']}"
+
+    if name == "VitPatchEmbedBlock":
+        _, c2, resolution, patch = args
+        return B.VitPatchEmbedBlock(dim=c2, resolution=tuple(resolution),
+                                    patch_size=tuple(patch), name=mname)
+    if name == "VitPosEmbedBlock":
+        _, c2, seqlens = args
+        return B.VitPosEmbedBlock(dim=c2, seqlens=tuple(seqlens), name=mname)
+    if name == "ViLBlockPairBlock":
+        _, c2, cfg = args
+        return B.ViLBlockPairBlock(dim=c2, **_vil_config(cfg), **vilkw, name=mname)
+    if name == "ViLFusionBlock":
+        c1, c2, cfg = args
+        cfg = dict(cfg)
+        mlp_ratio = float(cfg.pop("mlp_ratio", 4.0))
+        vc = _vil_config(cfg)
+        drop_path = vc.pop("drop_path")
+        return B.ViLFusionBlock(c1=c1, dim=c2, mlp_ratio=mlp_ratio,
+                                drop_path=drop_path, **vc, **vilkw, name=mname)
+    if name == "PatchMerger":
+        dim, m_out = args
+        return B.PatchMerger(dim=dim, num_tokens_out=m_out, name=mname)
+    if name == "SequenceToImage":
+        (seqlens,) = args
+        return B.SequenceToImage(seqlens=tuple(seqlens), name=mname)
+    if name == "Upsample":
+        scale = args[1] if len(args) > 1 else 2
+        return _Upsample(scale=int(scale), name=mname)
+    if name == "Concat":
+        return _Concat(name=mname)
+    if name == "Conv":
+        c2 = args[0]
+        k = args[1] if len(args) > 1 else 1
+        s = args[2] if len(args) > 2 else 1
+        return B.ConvBNAct(c2=c2, k=k, s=s, training=training, name=mname)
+    if name == "DWConv":
+        c2 = args[0]
+        k = args[1] if len(args) > 1 else 1
+        s = args[2] if len(args) > 2 else 1
+        return B.DWConvBlock(c2=c2, k=k, s=s, training=training, name=mname)
+    if name == "C2f":
+        c2 = args[0]
+        shortcut = bool(args[1]) if len(args) > 1 else False
+        return B.C2f(c2=c2, n=kw.get("n", 1), shortcut=shortcut,
+                     training=training, name=mname)
+    if name == "SPPF":
+        c2 = args[0]
+        k = args[1] if len(args) > 1 else 5
+        return B.SPPF(c2=c2, k=k, training=training, name=mname)
+    if name == "SimpleStem":
+        c2 = args[0]
+        return B.SimpleStem(embed_dim=c2, training=training, name=mname)
+    if name == "VisionClueMerge":
+        c2 = args[1]
+        return B.VisionClueMerge(c2=c2, training=training, name=mname)
+    if name in {"Detect", "v10Detect"}:
+        cls = H.v10Detect if name == "v10Detect" else H.Detect
+        return cls(nc=args[0] if args else nc, ch=kw["ch"], training=training,
+                   img_size=img_size, name=mname)
+    raise ValueError(f"no builder for module '{name}'")
+
+
+class _Upsample(nn.Module):
+    scale: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        return B.upsample_nearest(x, self.scale)
+
+
+class _Concat(nn.Module):
+    @nn.compact
+    def __call__(self, xs):
+        return B.concat_channels(xs)
+
+
+class DetectionModel(nn.Module):
+    """Graph executor over compiled layer specs (savelist routing).
+
+    Parity: BaseModel._predict_once (nn/tasks.py:154-182) — iterate
+    layers, re-route via ``f`` indices, cache savelist outputs.
+    Training returns the head's raw dict; eval returns
+    (decoded (B, max_det, 6), aux feature dict).
+    """
+
+    specs: Sequence[dict]
+    save: Sequence[int]
+    nc: int = 80
+    training: bool = False
+    chunkwise_kernel: str = DEFAULT_CHUNKWISE_KERNEL
+    compute_dtype: Any = None
+    img_size: int = 640
+
+    def setup(self):
+        self.layers = [
+            build_module(
+                s, self.nc, self.training, self.chunkwise_kernel,
+                self.compute_dtype, self.img_size,
+            )
+            for s in self.specs
+        ]
+
+    def __call__(self, x):
+        img_hw = (x.shape[1], x.shape[2])
+        saved: dict[int, jax.Array] = {}
+        out = x
+        for spec, layer in zip(self.specs, self.layers):
+            f = spec["f"]
+            if isinstance(f, int):
+                inp = out if f == -1 else saved[f]
+            else:
+                inp = [out if j == -1 else saved[j] for j in f]
+            if spec["module"] in {"Detect", "v10Detect"}:
+                out = layer(inp, img_hw=img_hw)
+            else:
+                out = layer(inp)
+            if spec["i"] in self.save:
+                saved[spec["i"]] = out
+        return out
+
+
+def build_detection_model(
+    cfg,
+    ch: int = 3,
+    nc: int | None = None,
+    scale: str | None = None,
+    training: bool = False,
+    chunkwise_kernel: str = DEFAULT_CHUNKWISE_KERNEL,
+    compute_dtype=None,
+) -> tuple[DetectionModel, dict]:
+    """Compile a model YAML into a DetectionModel (+ resolved cfg dict)."""
+    d = yaml_model_load(cfg)
+    if nc is not None and nc != d.get("nc"):
+        d["nc"] = nc
+    specs, save, ch_list = parse_model_specs(d, ch=ch, scale=scale)
+    model = DetectionModel(
+        specs=tuple(specs),
+        save=tuple(save),
+        nc=d.get("nc", 80),
+        training=training,
+        chunkwise_kernel=chunkwise_kernel,
+        compute_dtype=compute_dtype,
+        img_size=int(d.get("imgsz", 640)),
+    )
+    return model, d

@@ -1,0 +1,155 @@
+"""Task-aligned assignment + anchor/box geometry, fixed-shape JAX.
+
+Re-design of ref:ultralytics/utils/tal.py:14-385 for XLA: the reference
+leans on data-dependent boolean indexing (``tensor[mask]``); here every
+step is a masked dense computation over the padded (B, M, A) grid so the
+whole assigner jits with static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from xlstm_yolo_tpu.utils.metrics import bbox_iou
+
+f32 = jnp.float32
+
+
+def make_anchors(
+    feat_shapes: Sequence[tuple[int, int]],
+    strides: Sequence[float],
+    grid_cell_offset: float = 0.5,
+):
+    """Anchor centers + per-anchor stride from feature-map shapes.
+
+    Parity: tal.py:333-346.  Returns (A, 2) points in feature units and
+    (A, 1) strides.  ``feat_shapes`` are static python ints, so this is
+    constant-folded under jit.
+    """
+    points, stride_list = [], []
+    for (h, w), s in zip(feat_shapes, strides):
+        sx = jnp.arange(w, dtype=f32) + grid_cell_offset
+        sy = jnp.arange(h, dtype=f32) + grid_cell_offset
+        gy, gx = jnp.meshgrid(sy, sx, indexing="ij")
+        points.append(jnp.stack([gx, gy], -1).reshape(-1, 2))
+        stride_list.append(jnp.full((h * w, 1), s, dtype=f32))
+    return jnp.concatenate(points), jnp.concatenate(stride_list)
+
+
+def dist2bbox(distance, anchor_points, xywh: bool = True, axis: int = -1):
+    """ltrb distances -> boxes (parity: tal.py:348-358)."""
+    lt, rb = jnp.split(distance, 2, axis=axis)
+    x1y1 = anchor_points - lt
+    x2y2 = anchor_points + rb
+    if xywh:
+        c_xy = (x1y1 + x2y2) / 2
+        wh = x2y2 - x1y1
+        return jnp.concatenate([c_xy, wh], axis=axis)
+    return jnp.concatenate([x1y1, x2y2], axis=axis)
+
+
+def bbox2dist(anchor_points, bbox, reg_max: float):
+    """xyxy boxes -> clamped ltrb distances (parity: tal.py:360-364)."""
+    x1y1, x2y2 = jnp.split(bbox, 2, axis=-1)
+    d = jnp.concatenate([anchor_points - x1y1, x2y2 - anchor_points], axis=-1)
+    return jnp.clip(d, 0, reg_max - 0.01)
+
+
+class AssignResult(NamedTuple):
+    target_labels: jax.Array  # (B, A) int32
+    target_bboxes: jax.Array  # (B, A, 4)
+    target_scores: jax.Array  # (B, A, nc)
+    fg_mask: jax.Array  # (B, A) bool
+    target_gt_idx: jax.Array  # (B, A) int32
+
+
+def task_aligned_assign(
+    pd_scores: jax.Array,  # (B, A, nc) sigmoid probabilities
+    pd_bboxes: jax.Array,  # (B, A, 4) xyxy in image units
+    anc_points: jax.Array,  # (A, 2) image units
+    gt_labels: jax.Array,  # (B, M) int32 (padded)
+    gt_bboxes: jax.Array,  # (B, M, 4) xyxy (padded with zeros)
+    mask_gt: jax.Array,  # (B, M) bool validity of each padded gt
+    topk: int = 10,
+    num_classes: int = 80,
+    alpha: float = 0.5,
+    beta: float = 6.0,
+    eps: float = 1e-9,
+) -> AssignResult:
+    """Assign gts to anchors by s^alpha * IoU^beta (fixed shapes).
+
+    Parity: tal.py:83-125 (_forward) with masked-dense semantics.
+    """
+    B, A, nc = pd_scores.shape
+    M = gt_bboxes.shape[1]
+    mask_gt = mask_gt.astype(bool)  # (B, M)
+
+    # 1) anchors whose center lies inside each gt box  (B, M, A)
+    lt = gt_bboxes[..., None, :2]  # (B, M, 1, 2)
+    rb = gt_bboxes[..., None, 2:]
+    deltas = jnp.concatenate(
+        [anc_points[None, None] - lt, rb - anc_points[None, None]], axis=-1
+    )  # (B, M, A, 4)
+    mask_in_gts = deltas.min(-1) > eps  # (B, M, A)
+
+    valid = mask_in_gts & mask_gt[..., None]  # (B, M, A)
+
+    # 2) alignment metric
+    cls_idx = jnp.clip(gt_labels, 0, nc - 1)  # (B, M)
+    bbox_scores = jnp.take_along_axis(
+        pd_scores.transpose(0, 2, 1),  # (B, nc, A)
+        cls_idx[:, :, None],
+        axis=1,
+    )  # (B, M, A)
+    bbox_scores = jnp.where(valid, bbox_scores, 0.0)
+
+    ious = bbox_iou(
+        gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :], xywh=False, kind="ciou"
+    )  # (B, M, A)
+    overlaps = jnp.where(valid, jnp.clip(ious, 0.0, None), 0.0)
+
+    align_metric = bbox_scores.astype(f32) ** alpha * overlaps.astype(f32) ** beta
+
+    # 3) top-k per gt over anchors, duplicates and invalid gts removed
+    topk_vals, topk_idx = jax.lax.top_k(align_metric, topk)  # (B, M, topk)
+    topk_valid = mask_gt[..., None] & (topk_vals > eps)  # like reference topk_mask
+    counts = jnp.sum(
+        jax.nn.one_hot(topk_idx, A, dtype=jnp.int32)
+        * topk_valid[..., None].astype(jnp.int32),
+        axis=-2,
+    )  # (B, M, A)
+    mask_topk = counts == 1  # >1 can't happen with distinct top-k indices; ==1 drops invalid
+
+    mask_pos = mask_topk & valid  # (B, M, A)
+
+    # 4) resolve anchors claimed by multiple gts: keep highest IoU
+    fg_count = mask_pos.sum(-2)  # (B, A)
+    multi = fg_count > 1  # (B, A)
+    max_iou_gt = jnp.argmax(jnp.where(mask_pos, overlaps, -1.0), axis=-2)  # (B, A)
+    is_max = jax.nn.one_hot(max_iou_gt, M, dtype=bool, axis=-2)  # (B, M, A)
+    mask_pos = jnp.where(multi[:, None, :], is_max & mask_pos, mask_pos)
+    fg_mask = mask_pos.any(-2)  # (B, A)
+
+    target_gt_idx = jnp.argmax(mask_pos, axis=-2)  # (B, A) — 0 where no gt
+
+    # 5) gather targets
+    tl = jnp.take_along_axis(gt_labels, target_gt_idx, axis=1)  # (B, A)
+    target_labels = jnp.where(fg_mask, tl, num_classes).astype(jnp.int32)
+    target_bboxes = jnp.take_along_axis(
+        gt_bboxes, target_gt_idx[..., None], axis=1
+    )  # (B, A, 4)
+
+    onehot = jax.nn.one_hot(jnp.clip(tl, 0, None), num_classes, dtype=f32)
+    target_scores = jnp.where(fg_mask[..., None], onehot, 0.0)  # (B, A, nc)
+
+    # 6) normalize scores by the per-gt best alignment (tal.py:112-118)
+    am = align_metric * mask_pos  # (B, M, A)
+    pos_align = am.max(-1, keepdims=True)  # (B, M, 1)
+    pos_iou = (overlaps * mask_pos).max(-1, keepdims=True)
+    norm = ((am * pos_iou) / (pos_align + eps)).max(-2)  # (B, A)
+    target_scores = target_scores * norm[..., None]
+
+    return AssignResult(target_labels, target_bboxes, target_scores, fg_mask, target_gt_idx)
