@@ -289,8 +289,13 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # float floor-div round-up, matching the reference expression
+        # (vision_lstm2.py:47-49) bit-for-bit: for dim=192, factor=2.6667
+        # this yields 512 (not the true ceil 576) because the float
+        # product 512.0064 floors through (x + 63) // 64.
         up = int(
-            -(-(self.dim * self.proj_factor) // self.round_up_to) * self.round_up_to
+            ((self.dim * self.proj_factor + self.round_up_to - 1) // self.round_up_to)
+            * self.round_up_to
         )
         gz = nn.Dense(
             2 * up,
