@@ -1,0 +1,133 @@
+"""Pure jitted train / eval step functions.
+
+The TPU-native replacement for the reference's hot loop
+(ref:engine/trainer.py:346-420): one fused XLA program computes forward,
+E2E loss, backward, clip, optimizer update and EMA — gradient
+all-reduce over the mesh is inserted by XLA from the shardings (no DDP,
+no GradScaler: bf16 activations + fp32 params need no loss scaling).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from xlstm_yolo_tpu.engine import optimizers as opt_lib
+from xlstm_yolo_tpu.utils.loss import e2e_detect_loss, v8_detection_loss
+
+f32 = jnp.float32
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema: opt_lib.EMAState
+
+    @classmethod
+    def create(cls, variables, tx):
+        params = variables["params"]
+        return cls(
+            step=jnp.zeros([], jnp.int32),
+            params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(params),
+            ema=opt_lib.ema_init(params),
+        )
+
+
+def make_train_step(
+    model_train,
+    tx: optax.GradientTransformation,
+    nc: int = 80,
+    end2end: bool = True,
+    ema_decay: float = 0.9999,
+    accumulate: int = 1,
+) -> Callable:
+    """Build train_step(state, batch, rng) -> (state, metrics).
+
+    ``batch``: img (B, H, W, 3) float; cls (B, M) int32; bboxes (B, M, 4)
+    xyxy image units; mask (B, M) bool.  ``accumulate`` > 1 scans over
+    microbatches before the optimizer update (ref grad-accum semantics,
+    trainer.py:304,372 — here a lax.scan over leading microbatch dim).
+    """
+
+    def loss_fn(params, batch_stats, batch, rng):
+        out, mutated = model_train.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["img"],
+            mutable=["batch_stats"],
+            rngs={"droppath": rng},
+        )
+        ih = batch["img"].shape[1]
+        if end2end:
+            feats = out["one2many"]
+            strides = [ih / f.shape[1] for f in feats]
+            total, items = e2e_detect_loss(
+                out, batch["cls"], batch["bboxes"], batch["mask"], strides, nc=nc
+            )
+        else:
+            strides = [ih / f.shape[1] for f in out]
+            total, items = v8_detection_loss(
+                out, batch["cls"], batch["bboxes"], batch["mask"], strides, nc=nc
+            )
+        return total, (items, mutated["batch_stats"])
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def single(state: TrainState, batch, rng):
+        (loss, (items, new_bs)), grads = grad_fn(state.params, state.batch_stats, batch, rng)
+        return loss, items, new_bs, grads
+
+    def train_step(state: TrainState, batch, rng):
+        if accumulate > 1:
+            def micro(carry, mb):
+                g_acc, bs, l_acc = carry
+                loss, items, new_bs, grads = single(
+                    state.replace(batch_stats=bs), mb, rng
+                )
+                g_acc = jax.tree.map(jnp.add, g_acc, grads)
+                return (g_acc, new_bs, l_acc + loss), items
+
+            g0 = jax.tree.map(jnp.zeros_like, state.params)
+            (grads, new_bs, loss), items = jax.lax.scan(
+                micro, (g0, state.batch_stats, jnp.zeros([], f32)), batch
+            )
+            items = jax.tree.map(lambda x: x[-1], items)
+        else:
+            loss, items, new_bs, grads = single(state, batch, rng)
+
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = opt_lib.ema_update(state.ema, new_params, decay=ema_decay)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            ema=new_ema,
+        )
+        metrics = {
+            "loss": loss,
+            "box_loss": items.box,
+            "cls_loss": items.cls,
+            "dfl_loss": items.dfl,
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model_eval) -> Callable:
+    """eval_step(params, batch_stats, img) -> (detections, aux)."""
+
+    def eval_step(params, batch_stats, img):
+        return model_eval.apply({"params": params, "batch_stats": batch_stats}, img)
+
+    return eval_step

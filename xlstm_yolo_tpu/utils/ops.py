@@ -1,0 +1,199 @@
+"""Box ops, letterbox inverse, on-device NMS, profiling timer.
+
+Re-design of ref:ultralytics/utils/ops.py.  Box converters work on both
+numpy and jnp arrays (same ufunc API).  NMS comes in two flavors:
+
+- :func:`nms_jax` — fixed-shape iterative NMS under jit (the TPU
+  replacement for torchvision.ops.nms, ref:utils/ops.py:312);
+- :func:`non_max_suppression` — the batched postprocess wrapper with the
+  end2end bypass (conf filter + truncate, ref:utils/ops.py:240-244).
+"""
+
+from __future__ import annotations
+
+import time
+from contextlib import ContextDecorator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# converters (parity: ops.py:392-520); np/jnp polymorphic
+# ---------------------------------------------------------------------------
+
+def _xp(x):
+    return jnp if isinstance(x, jax.Array) else np
+
+
+def xywh2xyxy(x):
+    xp = _xp(x)
+    xy, wh = x[..., :2], x[..., 2:4]
+    half = wh / 2
+    return xp.concatenate([xy - half, xy + half, x[..., 4:]], axis=-1)
+
+
+def xyxy2xywh(x):
+    xp = _xp(x)
+    x1y1, x2y2 = x[..., :2], x[..., 2:4]
+    return xp.concatenate([(x1y1 + x2y2) / 2, x2y2 - x1y1, x[..., 4:]], axis=-1)
+
+
+def xywhn2xyxy(x, w, h, padw=0, padh=0):
+    xp = _xp(x)
+    cx, cy, bw, bh = x[..., 0], x[..., 1], x[..., 2], x[..., 3]
+    return xp.stack(
+        [
+            w * (cx - bw / 2) + padw,
+            h * (cy - bh / 2) + padh,
+            w * (cx + bw / 2) + padw,
+            h * (cy + bh / 2) + padh,
+        ],
+        axis=-1,
+    )
+
+
+def xyxy2xywhn(x, w, h, clip=False, eps=0.0):
+    xp = _xp(x)
+    if clip:
+        x = clip_boxes(x, (h - eps, w - eps))
+    y = xyxy2xywh(x)
+    return y / xp.asarray([w, h, w, h], dtype=y.dtype)
+
+
+def clip_boxes(boxes, shape):
+    xp = _xp(boxes)
+    h, w = shape[:2]
+    return xp.stack(
+        [
+            xp.clip(boxes[..., 0], 0, w),
+            xp.clip(boxes[..., 1], 0, h),
+            xp.clip(boxes[..., 2], 0, w),
+            xp.clip(boxes[..., 3], 0, h),
+        ],
+        axis=-1,
+    )
+
+
+def scale_boxes(img1_shape, boxes, img0_shape, ratio_pad=None, padding=True):
+    """Rescale boxes from letterboxed img1 back to original img0.
+
+    Parity: ops.py:92-124 (gain/pad inverse, then clip).
+    """
+    if ratio_pad is None:
+        gain = min(img1_shape[0] / img0_shape[0], img1_shape[1] / img0_shape[1])
+        pad = (
+            round((img1_shape[1] - img0_shape[1] * gain) / 2 - 0.1),
+            round((img1_shape[0] - img0_shape[0] * gain) / 2 - 0.1),
+        )
+    else:
+        gain, pad = ratio_pad[0][0], ratio_pad[1]
+    xp = _xp(boxes)
+    if padding:
+        boxes = boxes - xp.asarray([pad[0], pad[1], pad[0], pad[1]], dtype=boxes.dtype)
+    boxes = boxes / gain
+    return clip_boxes(boxes, img0_shape)
+
+
+# ---------------------------------------------------------------------------
+# NMS
+# ---------------------------------------------------------------------------
+
+
+def nms_jax(boxes, scores, iou_thres: float = 0.45, max_out: int = 300):
+    """Fixed-shape greedy NMS: returns (keep_idx (max_out,), keep_mask).
+
+    Iteratively selects the top-score box and suppresses IoU > thres;
+    runs entirely on device with static shapes (lax.fori_loop).
+    """
+    N = boxes.shape[0]
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    areas = (x2 - x1) * (y2 - y1)
+
+    def body(i, carry):
+        scores_live, keep_idx, keep_ok = carry
+        j = jnp.argmax(scores_live)
+        ok = scores_live[j] > -jnp.inf
+        keep_idx = keep_idx.at[i].set(jnp.where(ok, j, -1))
+        keep_ok = keep_ok.at[i].set(ok)
+        xx1 = jnp.maximum(x1[j], x1)
+        yy1 = jnp.maximum(y1[j], y1)
+        xx2 = jnp.minimum(x2[j], x2)
+        yy2 = jnp.minimum(y2[j], y2)
+        inter = jnp.clip(xx2 - xx1, 0) * jnp.clip(yy2 - yy1, 0)
+        iou = inter / (areas[j] + areas - inter + 1e-7)
+        suppress = (iou > iou_thres) | (jnp.arange(N) == j)
+        scores_live = jnp.where(suppress & ok, -jnp.inf, scores_live)
+        return scores_live, keep_idx, keep_ok
+
+    keep_idx = jnp.full((max_out,), -1, jnp.int32)
+    keep_ok = jnp.zeros((max_out,), bool)
+    _, keep_idx, keep_ok = jax.lax.fori_loop(
+        0, max_out, body, (scores, keep_idx, keep_ok)
+    )
+    return keep_idx, keep_ok
+
+
+def non_max_suppression(
+    preds,  # (B, A, 4+nc) decoded xywh(+cls-prob) like Detect._inference output
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    nc: int = 80,
+    end2end: bool = False,
+    multi_label: bool = False,
+    max_wh: float = 7680.0,
+):
+    """Batched NMS returning fixed-shape (B, max_det, 6) + validity mask.
+
+    end2end inputs are already (B, N, 6): conf filter + truncate only
+    (parity: ops.py:240-244).  Otherwise: xywh->xyxy, best-class
+    selection, class-offset batched NMS (parity: ops.py:181-330).
+    """
+    if end2end:
+        out = preds[:, :max_det]
+        valid = out[..., 4] > conf_thres
+        return out, valid
+
+    boxes = xywh2xyxy(preds[..., :4])
+    cls_scores = preds[..., 4 : 4 + nc]
+    conf = cls_scores.max(-1)
+    cls = cls_scores.argmax(-1).astype(boxes.dtype)
+    cand = conf > conf_thres
+
+    # class-offset so boxes of different classes never suppress each other
+    off_boxes = boxes + (cls * max_wh)[..., None]
+    masked_scores = jnp.where(cand, conf, -jnp.inf)
+
+    def per_image(b, s):
+        keep_idx, keep_ok = nms_jax(b, s, iou_thres, max_det)
+        idx = jnp.clip(keep_idx, 0, None)
+        return idx, keep_ok
+
+    idx, ok = jax.vmap(per_image)(off_boxes, masked_scores)
+    take = lambda arr: jnp.take_along_axis(arr, idx[..., None], axis=1)
+    out = jnp.concatenate(
+        [take(boxes), take(conf[..., None][..., 0:1]), take(cls[..., None])], axis=-1
+    )
+    return out, ok
+
+
+class Profile(ContextDecorator):
+    """Wall-clock profile timer with device sync (parity: ops.py:28-60)."""
+
+    def __init__(self, t: float = 0.0):
+        self.t = t
+        self.dt = 0.0
+
+    def __enter__(self):
+        self.start = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.dt = time.perf_counter() - self.start
+        self.t += self.dt
+        return False
+
+    def __str__(self):
+        return f"{self.t:.6f}s"
