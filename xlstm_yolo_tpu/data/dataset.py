@@ -1,0 +1,249 @@
+"""YOLO-format detection dataset with label caching and padded batches.
+
+Re-design of ref:ultralytics/data/base.py:21-346 and dataset.py:45-250:
+same on-disk format (images dir + labels/*.txt with normalized xywh,
+dataset YAML with path/train/val/names), but batches collate to *padded*
+fixed-shape arrays (img uint8 NHWC RGB; cls/bboxes/mask padded to
+``max_targets``) so the jitted train step never re-specializes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import random
+from pathlib import Path
+
+import cv2
+import numpy as np
+import yaml
+
+from xlstm_yolo_tpu.data.augment import LetterBox, TrainTransforms
+
+IMG_EXTS = {".bmp", ".jpeg", ".jpg", ".png", ".tif", ".tiff", ".webp", ".mpo"}
+
+
+def check_det_dataset(data: str | dict) -> dict:
+    """Resolve a dataset YAML into absolute split paths + names."""
+    if isinstance(data, (str, Path)):
+        p = Path(data)
+        with open(p) as fh:
+            d = yaml.safe_load(fh)
+        d["yaml_dir"] = str(p.parent)
+    else:
+        d = dict(data)
+    root = Path(d.get("path") or d.get("yaml_dir") or ".")
+    if not root.is_absolute():
+        root = Path(d.get("yaml_dir", ".")) / root
+    out = dict(d)
+    for split in ("train", "val", "test"):
+        if d.get(split):
+            sp = Path(d[split])
+            out[split] = str(sp if sp.is_absolute() else root / sp)
+    names = d.get("names", {})
+    if isinstance(names, list):
+        names = dict(enumerate(names))
+    out["names"] = {int(k): str(v) for k, v in names.items()}
+    out["nc"] = d.get("nc", len(out["names"]) or 80)
+    return out
+
+
+def img2label_path(img_path: str) -> str:
+    """images/... -> labels/....txt (parity: data/utils.py img2label_paths)."""
+    sa, sb = f"{Path('/').root}", None
+    p = Path(img_path)
+    parts = list(p.parts)
+    for i in range(len(parts) - 1, -1, -1):
+        if parts[i] == "images":
+            parts[i] = "labels"
+            break
+    return str(Path(*parts).with_suffix(".txt"))
+
+
+class YOLODataset:
+    """Detection dataset: scan, verify, cache labels; serve samples."""
+
+    def __init__(
+        self,
+        img_path: str,
+        imgsz: int = 640,
+        augment: bool = False,
+        hyp=None,
+        max_targets: int = 128,
+        single_cls: bool = False,
+        cache: bool = False,
+        names: dict | None = None,
+        fraction: float = 1.0,
+    ):
+        self.img_path = img_path
+        self.imgsz = imgsz
+        self.augment = augment
+        self.max_targets = max_targets
+        self.single_cls = single_cls
+        self.names = names or {}
+        self.im_files = self._scan_images(img_path, fraction)
+        self.labels = self._load_labels()
+        self.hyp = hyp
+        self._ims = [None] * len(self.im_files) if cache else None
+        if augment and hyp is not None:
+            self.transforms = TrainTransforms(
+                dataset=self,
+                imgsz=imgsz,
+                mosaic=getattr(hyp, "mosaic", 1.0),
+                mixup=getattr(hyp, "mixup", 0.0),
+                degrees=getattr(hyp, "degrees", 0.0),
+                translate=getattr(hyp, "translate", 0.1),
+                scale=getattr(hyp, "scale", 0.5),
+                shear=getattr(hyp, "shear", 0.0),
+                perspective=getattr(hyp, "perspective", 0.0),
+                hsv_h=getattr(hyp, "hsv_h", 0.015),
+                hsv_s=getattr(hyp, "hsv_s", 0.7),
+                hsv_v=getattr(hyp, "hsv_v", 0.4),
+                fliplr=getattr(hyp, "fliplr", 0.5),
+                flipud=getattr(hyp, "flipud", 0.0),
+            )
+        else:
+            self.transforms = None
+        self.letterbox = LetterBox((imgsz, imgsz), auto=False, scaleup=True)
+
+    # -- scanning / label cache -------------------------------------------
+    @staticmethod
+    def _scan_images(img_path: str, fraction: float = 1.0) -> list[str]:
+        p = Path(img_path)
+        if p.is_dir():
+            files = sorted(
+                str(f) for f in p.rglob("*.*") if f.suffix.lower() in IMG_EXTS
+            )
+        elif p.is_file() and p.suffix == ".txt":  # file list
+            files = [l.strip() for l in p.read_text().splitlines() if l.strip()]
+        else:
+            raise FileNotFoundError(f"dataset path not found: {img_path}")
+        if fraction < 1.0:
+            files = files[: max(1, int(len(files) * fraction))]
+        if not files:
+            raise FileNotFoundError(f"no images under {img_path}")
+        return files
+
+    def _cache_path(self) -> Path:
+        h = hashlib.sha1(
+            ("".join(self.im_files) + str(self.max_targets)).encode()
+        ).hexdigest()[:16]
+        return Path(self.im_files[0]).parent / f".xyt_labels_{h}.cache.npz"
+
+    def _load_labels(self) -> list[dict]:
+        cache = self._cache_path()
+        if cache.exists():
+            try:
+                z = np.load(cache, allow_pickle=True)
+                return list(z["labels"])
+            except Exception:
+                pass
+        labels = []
+        for f in self.im_files:
+            lp = img2label_path(f)
+            cls, boxes = [], []
+            if Path(lp).exists():
+                for line in Path(lp).read_text().splitlines():
+                    vals = line.split()
+                    if len(vals) >= 5:
+                        c = int(float(vals[0]))
+                        xywh = np.array(list(map(float, vals[1:5])), np.float32)
+                        if (xywh[2:] > 0).all() and (0 <= xywh).all() and (xywh <= 1.0001).all():
+                            cls.append(0 if self.single_cls else c)
+                            boxes.append(xywh)
+            labels.append(
+                {
+                    "cls": np.asarray(cls, np.int64),
+                    "bboxes_n": np.asarray(boxes, np.float32).reshape(-1, 4),  # xywh norm
+                }
+            )
+        try:
+            np.savez_compressed(cache, labels=np.asarray(labels, dtype=object))
+        except Exception:
+            pass
+        return labels
+
+    # -- sample loading ------------------------------------------------------
+    def __len__(self):
+        return len(self.im_files)
+
+    def load_image(self, i: int):
+        if self._ims is not None and self._ims[i] is not None:
+            return self._ims[i]
+        im = cv2.imread(self.im_files[i])
+        if im is None:
+            raise FileNotFoundError(f"image not found {self.im_files[i]}")
+        if self._ims is not None:
+            self._ims[i] = im
+        return im
+
+    def load_for_mosaic(self, i: int, size: int):
+        """Image resized so the long side == size, labels in pixel xyxy."""
+        im = self.load_image(i)
+        h0, w0 = im.shape[:2]
+        r = size / max(h0, w0)
+        if r != 1:
+            im = cv2.resize(im, (round(w0 * r), round(h0 * r)), interpolation=cv2.INTER_LINEAR)
+        h, w = im.shape[:2]
+        lab = self.labels[i]
+        b = lab["bboxes_n"]
+        if len(b):
+            xy = b[:, :2] * [w, h]
+            wh = b[:, 2:] * [w, h]
+            boxes = np.concatenate([xy - wh / 2, xy + wh / 2], 1).astype(np.float32)
+        else:
+            boxes = np.zeros((0, 4), np.float32)
+        return im, boxes, lab["cls"].copy()
+
+    def get_sample(self, i: int, rng: random.Random):
+        """-> dict(img uint8 RGB HWC, cls, bboxes xyxy px, mask, meta)."""
+        if self.transforms is not None:
+            img, bboxes, cls = self.transforms(i, rng)
+            ratio_pad = None
+            orig_shape = (self.imgsz, self.imgsz)
+        else:
+            im = self.load_image(i)
+            orig_shape = im.shape[:2]
+            lab = self.labels[i]
+            b = lab["bboxes_n"]
+            h0, w0 = orig_shape
+            if len(b):
+                xy = b[:, :2] * [w0, h0]
+                wh = b[:, 2:] * [w0, h0]
+                boxes = np.concatenate([xy - wh / 2, xy + wh / 2], 1).astype(np.float32)
+            else:
+                boxes = np.zeros((0, 4), np.float32)
+            out = self.letterbox(im, {"bboxes": boxes, "cls": lab["cls"]})
+            img, bboxes, cls = out["img"], out["bboxes"], lab["cls"]
+            ratio_pad = out["ratio_pad"]
+        img = np.ascontiguousarray(img[..., ::-1])  # BGR -> RGB
+        M = self.max_targets
+        n = min(len(cls), M)
+        cls_p = np.zeros((M,), np.int32)
+        box_p = np.zeros((M, 4), np.float32)
+        mask = np.zeros((M,), bool)
+        if n:
+            cls_p[:n] = cls[:n]
+            box_p[:n] = bboxes[:n]
+            mask[:n] = True
+        return {
+            "img": img,
+            "cls": cls_p,
+            "bboxes": box_p,
+            "mask": mask,
+            "im_file": self.im_files[i],
+            "orig_shape": orig_shape,
+            "ratio_pad": ratio_pad,
+        }
+
+    @staticmethod
+    def collate(samples: list[dict]) -> dict:
+        return {
+            "img": np.stack([s["img"] for s in samples]),
+            "cls": np.stack([s["cls"] for s in samples]),
+            "bboxes": np.stack([s["bboxes"] for s in samples]),
+            "mask": np.stack([s["mask"] for s in samples]),
+            "im_file": [s["im_file"] for s in samples],
+            "orig_shape": [s["orig_shape"] for s in samples],
+            "ratio_pad": [s["ratio_pad"] for s in samples],
+        }

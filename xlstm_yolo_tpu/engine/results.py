@@ -1,0 +1,161 @@
+"""Prediction containers: Results / Boxes (+ plot/save/json helpers).
+
+Host-side numpy re-design of ref:ultralytics/engine/results.py:187-1100.
+Device outputs land here once per batch; everything downstream
+(plotting, serialization, tracking) is host work.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+
+class Boxes:
+    """(N, 6|7) array view: xyxy, (track_id), conf, cls (parity: results.py:1004)."""
+
+    def __init__(self, data: np.ndarray, orig_shape: tuple[int, int]):
+        data = np.asarray(data)
+        if data.ndim == 1:
+            data = data[None]
+        assert data.shape[-1] in (6, 7), f"expected 6|7 cols, got {data.shape}"
+        self.data = data
+        self.orig_shape = orig_shape
+        self.is_track = data.shape[-1] == 7
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, idx):
+        return Boxes(self.data[idx], self.orig_shape)
+
+    @property
+    def xyxy(self):
+        return self.data[:, :4]
+
+    @property
+    def conf(self):
+        return self.data[:, -2]
+
+    @property
+    def cls(self):
+        return self.data[:, -1]
+
+    @property
+    def id(self):
+        return self.data[:, 4] if self.is_track else None
+
+    @property
+    def xywh(self):
+        x = self.xyxy
+        return np.concatenate([(x[:, :2] + x[:, 2:]) / 2, x[:, 2:] - x[:, :2]], 1)
+
+    @property
+    def xyxyn(self):
+        h, w = self.orig_shape
+        return self.xyxy / np.array([w, h, w, h])
+
+    @property
+    def xywhn(self):
+        h, w = self.orig_shape
+        return self.xywh / np.array([w, h, w, h])
+
+
+@dataclass
+class Results:
+    """One image's predictions (parity: results.py:187-1000)."""
+
+    orig_img: np.ndarray
+    path: str
+    names: dict
+    boxes: Boxes | None = None
+    speed: dict = field(default_factory=dict)
+
+    def __len__(self):
+        return len(self.boxes) if self.boxes is not None else 0
+
+    def __getitem__(self, idx):
+        return Results(self.orig_img, self.path, self.names, self.boxes[idx], self.speed)
+
+    def update(self, boxes: np.ndarray | None = None):
+        if boxes is not None:
+            self.boxes = Boxes(boxes, self.orig_img.shape[:2])
+        return self
+
+    def cpu(self):
+        return self
+
+    def numpy(self):
+        return self
+
+    def plot(self, line_width: int | None = None, font_scale: float = 0.5,
+             conf: bool = True, labels: bool = True, img: np.ndarray | None = None):
+        """Draw boxes on a BGR copy of the original image."""
+        import cv2
+
+        im = (img if img is not None else self.orig_img).copy()
+        lw = line_width or max(round(sum(im.shape[:2]) / 2 * 0.003), 2)
+        if self.boxes is not None:
+            for row in self.boxes.data:
+                x1, y1, x2, y2 = row[:4].astype(int)
+                c = int(row[-1])
+                col = _color(c)
+                cv2.rectangle(im, (x1, y1), (x2, y2), col, lw)
+                if labels:
+                    name = self.names.get(c, str(c))
+                    txt = f"{name} {row[-2]:.2f}" if conf else name
+                    cv2.putText(im, txt, (x1, max(y1 - 4, 12)),
+                                cv2.FONT_HERSHEY_SIMPLEX, font_scale, col, max(lw - 1, 1))
+        return im
+
+    def save(self, filename: str | Path):
+        import cv2
+
+        cv2.imwrite(str(filename), self.plot())
+        return filename
+
+    def to_json(self, normalize: bool = False) -> str:
+        return json.dumps(self.summary(normalize=normalize), indent=2)
+
+    def summary(self, normalize: bool = False) -> list[dict]:
+        out = []
+        if self.boxes is None:
+            return out
+        h, w = self.orig_img.shape[:2]
+        for row in self.boxes.data:
+            x1, y1, x2, y2 = row[:4]
+            if normalize:
+                x1, x2 = x1 / w, x2 / w
+                y1, y2 = y1 / h, y2 / h
+            c = int(row[-1])
+            out.append(
+                {
+                    "name": self.names.get(c, str(c)),
+                    "class": c,
+                    "confidence": round(float(row[-2]), 5),
+                    "box": {"x1": float(x1), "y1": float(y1), "x2": float(x2), "y2": float(y2)},
+                }
+            )
+        return out
+
+    def verbose(self) -> str:
+        if not len(self):
+            return "(no detections), "
+        counts = {}
+        for c in self.boxes.cls.astype(int):
+            counts[c] = counts.get(c, 0) + 1
+        return ", ".join(f"{n} {self.names.get(c, c)}{'s' if n > 1 else ''}" for c, n in counts.items()) + ", "
+
+
+def _color(i: int) -> tuple[int, int, int]:
+    palette = [
+        (56, 56, 255), (151, 157, 255), (31, 112, 255), (29, 178, 255),
+        (49, 210, 207), (10, 249, 72), (23, 204, 146), (134, 219, 61),
+        (52, 147, 26), (187, 212, 0), (168, 153, 44), (255, 194, 0),
+        (147, 69, 52), (255, 115, 100), (236, 24, 0), (255, 56, 132),
+        (133, 0, 82), (255, 56, 203), (200, 149, 255), (199, 55, 255),
+    ]
+    return palette[i % len(palette)]

@@ -1,0 +1,250 @@
+"""Training orchestrator: epochs, warmup, EMA-val, checkpoint/resume.
+
+Re-design of ref:ultralytics/engine/trainer.py:62-760 as a
+single-controller JAX loop: no DDP subprocess relaunch, no GradScaler —
+one jitted step program over the ('data','model') mesh, a host thread
+pool feeding it, and orbax checkpoints of (params, batch_stats,
+opt_state, EMA, step, epoch, fitness, rng).
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import math
+import time
+from pathlib import Path
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xlstm_yolo_tpu.cfg import get_cfg
+from xlstm_yolo_tpu.data.build import build_dataloader, build_yolo_dataset
+from xlstm_yolo_tpu.data.dataset import check_det_dataset
+from xlstm_yolo_tpu.engine import optimizers as opt_lib
+from xlstm_yolo_tpu.engine.steps import TrainState, make_train_step
+from xlstm_yolo_tpu.engine.validator import DetectionValidator
+from xlstm_yolo_tpu.nn.tasks import build_detection_model
+from xlstm_yolo_tpu.parallel import mesh as mesh_lib
+from xlstm_yolo_tpu.utils.callbacks import Callbacks
+from xlstm_yolo_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+
+class EarlyStopping:
+    """Parity: utils/torch_utils.py:733 — patience on fitness."""
+
+    def __init__(self, patience: int = 100):
+        self.best_fitness = 0.0
+        self.best_epoch = 0
+        self.patience = patience or float("inf")
+
+    def __call__(self, epoch: int, fitness: float) -> bool:
+        if fitness is None:
+            return False
+        if fitness >= self.best_fitness:
+            self.best_epoch = epoch
+            self.best_fitness = fitness
+        return (epoch - self.best_epoch) >= self.patience
+
+
+class DetectionTrainer:
+    """Detect-task trainer (parity: BaseTrainer + detect/train.py)."""
+
+    def __init__(self, cfg=None, overrides: dict | None = None, model_cfg=None):
+        self.args = cfg if isinstance(cfg, SimpleNamespace) else get_cfg(cfg, overrides)
+        self.model_cfg = model_cfg or self.args.model
+        self.callbacks = Callbacks()
+        self.save_dir = self._get_save_dir()
+        self.wdir = self.save_dir / "weights"
+        self.csv_path = self.save_dir / "results.csv"
+        self.best_fitness = 0.0
+        self.start_epoch = 0
+        self.metrics = {}
+
+    def _get_save_dir(self) -> Path:
+        project = self.args.project or "runs/detect"
+        name = self.args.name or "train"
+        d = Path(project) / name
+        if d.exists() and not self.args.exist_ok and not self.args.resume:
+            for i in range(2, 10000):
+                d2 = Path(project) / f"{name}{i}"
+                if not d2.exists():
+                    d = d2
+                    break
+        return d
+
+    # ------------------------------------------------------------------
+    def train(self):
+        args = self.args
+        self.callbacks.run("on_pretrain_routine_start", self)
+        data = check_det_dataset(args.data)
+        nc = data["nc"]
+        imgsz = int(args.imgsz)
+        batch = int(args.batch)
+
+        mesh = mesh_lib.make_mesh(n_model=1)
+        n_data = mesh.shape[mesh_lib.DATA_AXIS]
+        if batch % n_data:
+            batch = max(n_data, batch - batch % n_data)
+
+        # --- model (train + eval twins share params) ---
+        compute_dtype = jnp.bfloat16 if args.amp else None
+        model_t, mcfg = build_detection_model(
+            self.model_cfg, nc=nc, training=True, compute_dtype=compute_dtype
+        )
+        model_e, _ = build_detection_model(
+            self.model_cfg, nc=nc, training=False, compute_dtype=compute_dtype
+        )
+        rng = jax.random.PRNGKey(int(args.seed))
+        init_img = jnp.zeros((1, imgsz, imgsz, 3), jnp.float32)
+        variables = jax.jit(model_t.init)({"params": rng, "droppath": rng}, init_img)
+
+        if args.pretrained and isinstance(args.pretrained, str):
+            variables = self._load_pretrained(variables, args.pretrained)
+
+        # --- data ---
+        trainset = build_yolo_dataset(args, data["train"], batch, data, mode="train")
+        loader = build_dataloader(
+            trainset, batch, workers=int(args.workers), shuffle=True,
+            seed=int(args.seed),
+        )
+        nb = max(len(loader), 1)  # batches per epoch
+        epochs = int(args.epochs)
+
+        # --- optimizer (nbs accumulation + lr scaling, trainer.py:298-320) ---
+        nbs = int(args.nbs)
+        accumulate = max(round(nbs / batch), 1)
+        weight_decay = float(args.weight_decay) * batch * accumulate / nbs
+        iterations = math.ceil(nb / accumulate) * epochs
+        warmup_steps = max(round(float(args.warmup_epochs) * nb), 100)
+        sched_fn = opt_lib.cosine_lr if args.cos_lr else opt_lib.linear_lr
+        schedule = sched_fn(
+            float(args.lr0), float(args.lrf), epochs, nb, warmup_steps=warmup_steps
+        )
+        tx, lr0, opt_name = opt_lib.build_optimizer(
+            variables["params"], name=args.optimizer, lr=float(args.lr0),
+            momentum=float(args.momentum), weight_decay=weight_decay,
+            schedule=schedule, iterations=iterations, nc=nc,
+        )
+        state = TrainState.create(variables, tx)
+        if args.resume:
+            state, self.start_epoch, self.best_fitness = load_checkpoint(
+                self.wdir / "last", state
+            )
+
+        train_step = make_train_step(model_t, tx, nc=nc)
+        # buffer donation halves peak HBM on TPU; the XLA *CPU* runtime
+        # deadlocks its collective rendezvous when donated multi-device
+        # buffers are in play (observed on the 8-virtual-device harness),
+        # so donate only off-CPU.
+        donate = (0,) if jax.devices()[0].platform != "cpu" else ()
+        step_jit = jax.jit(train_step, donate_argnums=donate)
+
+        validator = DetectionValidator(args, data=data, save_dir=self.save_dir)
+        stopper = EarlyStopping(int(args.patience))
+        self.wdir.mkdir(parents=True, exist_ok=True)
+        (self.save_dir / "args.yaml").write_text(
+            "\n".join(f"{k}: {v}" for k, v in vars(args).items())
+        )
+
+        print(
+            f"train: {len(trainset)} imgs, batch {batch} x{n_data} devices, "
+            f"{epochs} epochs, opt {opt_name}, accumulate {accumulate}"
+        )
+        self.callbacks.run("on_train_start", self)
+        t_start = time.time()
+        step_rng = jax.random.PRNGKey(int(args.seed) + 1)
+
+        for epoch in range(self.start_epoch, epochs):
+            self.epoch = epoch
+            self.callbacks.run("on_train_epoch_start", self)
+            if epoch == epochs - int(args.close_mosaic):
+                trainset.transforms and setattr(trainset.transforms, "mosaic_enabled", False)
+
+            losses = []
+            t_ep = time.time()
+            for bi, host_batch in enumerate(loader._iter_epoch(epoch)):
+                dev_batch = {
+                    "img": jnp.asarray(host_batch["img"], jnp.float32) / 255.0,
+                    "cls": jnp.asarray(host_batch["cls"]),
+                    "bboxes": jnp.asarray(host_batch["bboxes"]),
+                    "mask": jnp.asarray(host_batch["mask"]),
+                }
+                dev_batch = mesh_lib.shard_host_batch(dev_batch, mesh)
+                step_rng, sub = jax.random.split(step_rng)
+                state, metrics = step_jit(state, dev_batch, sub)
+                losses.append(metrics)
+                self.callbacks.run("on_train_batch_end", self)
+
+            mloss = {k: float(np.mean([float(m[k]) for m in losses])) for k in losses[0]} if losses else {}
+            dt = time.time() - t_ep
+            print(
+                f"epoch {epoch + 1}/{epochs}: loss={mloss.get('loss', float('nan')):.3f} "
+                f"box={mloss.get('box_loss', 0):.3f} cls={mloss.get('cls_loss', 0):.3f} "
+                f"dfl={mloss.get('dfl_loss', 0):.3f} ({dt:.1f}s, "
+                f"{len(losses) * batch / max(dt, 1e-9):.1f} img/s)"
+            )
+
+            # --- validation with EMA params (trainer.py:437-460) ---
+            fitness = None
+            if args.val:
+                ema_bundle = {
+                    "model": model_e,
+                    "variables": {
+                        "params": state.ema.params,
+                        "batch_stats": state.batch_stats,
+                    },
+                }
+                res = validator(ema_bundle, batch_size=batch, verbose=True)
+                fitness = res.get("fitness", 0.0)
+                self.metrics = res
+            self._log_csv(epoch, mloss, self.metrics)
+
+            # --- checkpoints ---
+            if args.save:
+                is_best = fitness is not None and fitness >= self.best_fitness
+                if is_best:
+                    self.best_fitness = fitness
+                save_checkpoint(self.wdir / "last", state, epoch, self.best_fitness, vars(args))
+                if is_best:
+                    save_checkpoint(self.wdir / "best", state, epoch, self.best_fitness, vars(args))
+            self.callbacks.run("on_fit_epoch_end", self)
+
+            if fitness is not None and stopper(epoch, fitness):
+                print(f"early stopping at epoch {epoch + 1} (patience {args.patience})")
+                break
+            if args.time and (time.time() - t_start) / 3600 > float(args.time):
+                print("time budget reached")
+                break
+
+        self.callbacks.run("on_train_end", self)
+        self.state = state
+        return self.metrics
+
+    # ------------------------------------------------------------------
+    def _load_pretrained(self, variables, path: str):
+        p = Path(path)
+        if p.suffix == ".pt":
+            import torch
+
+            from xlstm_yolo_tpu.utils.torch_convert import convert_torch_state_dict
+
+            ckpt = torch.load(p, map_location="cpu", weights_only=False)
+            model = ckpt.get("ema") or ckpt.get("model")
+            sd = model.state_dict() if hasattr(model, "state_dict") else model
+            return convert_torch_state_dict(variables, sd, strict=False)
+        state = TrainState.create(variables, opt_lib.build_optimizer(variables["params"])[0])
+        state, *_ = load_checkpoint(p, state)
+        return {"params": state.params, "batch_stats": state.batch_stats}
+
+    def _log_csv(self, epoch: int, mloss: dict, metrics: dict):
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+        row = {"epoch": epoch, **mloss, **(metrics or {})}
+        new = not self.csv_path.exists()
+        with open(self.csv_path, "a", newline="") as fh:
+            w = csv.DictWriter(fh, fieldnames=list(row.keys()))
+            if new:
+                w.writeheader()
+            w.writerow(row)
