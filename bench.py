@@ -2,12 +2,15 @@
 
 Measures images/sec/chip for the jitted predict program: on-device
 uint8->float normalize, full backbone+FPN forward (bf16 compute), DFL
-decode and NMS-free topk postprocess — i.e. everything after host JPEG
-decode/letterbox.  Prints ONE JSON line for the driver.
+decode and NMS-free topk postprocess.  Prints ONE JSON line.
 
-No published reference numbers exist (BASELINE.md): vs_baseline is the
-ratio against the round-1 recorded value in BENCH_BASELINE.json if
-present, else 1.0.
+Measurement protocol (the terminal talks to the TPU through a relay):
+- per-iteration host sync would measure round-trip latency (~24 ms),
+  so iterations are pipelined instead;
+- the runtime caches repeated identical dispatches, so every iteration
+  uses a *distinct* device-resident input batch (generated on device);
+- device programs execute in order, so fetching the last output to the
+  host is a barrier for the whole pipeline.
 """
 
 from __future__ import annotations
@@ -23,8 +26,8 @@ import numpy as np
 REPO = Path(__file__).resolve().parent
 CFG = REPO / "xlstm_yolo_tpu" / "cfg" / "models" / "vil-det-192.yaml"
 BATCH = 8
-WARMUP = 3
-ITERS = 20
+WARMUP = 2
+ITERS = 16
 
 
 def main():
@@ -41,17 +44,21 @@ def main():
         y, _ = model.apply(variables, x)
         return y
 
-    imgs = np.random.default_rng(0).integers(0, 255, (BATCH, 640, 640, 3), dtype=np.uint8)
-    imgs = jnp.asarray(imgs)
+    # distinct device-resident batches (defeats dispatch dedup, no host I/O)
+    @jax.jit
+    def make_batch(key):
+        return jax.random.randint(key, (BATCH, 640, 640, 3), 0, 255, jnp.uint8)
 
-    for _ in range(WARMUP):
-        jax.block_until_ready(predict(variables, imgs))
+    keys = jax.random.split(jax.random.PRNGKey(1), WARMUP + ITERS)
+    batches = [make_batch(k) for k in keys]
+    _ = np.asarray(batches[-1][0, 0, 0])  # force materialization
 
-    # block every iteration: the remote-TPU runtime otherwise overlaps or
-    # dedups back-to-back identical dispatches and flatters the number
+    for b in batches[:WARMUP]:
+        np.asarray(predict(variables, b))  # true sync via host fetch
+
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        jax.block_until_ready(predict(variables, imgs))
+    outs = [predict(variables, b) for b in batches[WARMUP:]]
+    _ = np.asarray(outs[-1])  # device executes in order: barrier for all
     dt = time.perf_counter() - t0
     ips = BATCH * ITERS / dt
 

@@ -1,0 +1,76 @@
+"""Pallas chunkwise kernel vs jnp reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xlstm_yolo_tpu.ops import get_mlstm_kernel, mlstm_siging_chunkwise
+from xlstm_yolo_tpu.ops.pallas.chunkwise import mlstm_siging_chunkwise_pallas
+
+
+def make_args(rng, B=2, NH=3, S=64, DHQK=16, DHHV=16):
+    q = jnp.asarray(rng.normal(size=(B, NH, S, DHQK)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, NH, S, DHQK)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, NH, S, DHHV)), jnp.float32)
+    i = jnp.asarray(rng.normal(size=(B, NH, S)) - 5.0, jnp.float32)
+    f = jnp.asarray(rng.normal(size=(B, NH, S)) + 4.0, jnp.float32)
+    return q, k, v, i, f
+
+
+def test_registry_exposes_pallas():
+    fn = get_mlstm_kernel("chunkwise--pallas_xl_chunk_siging")
+    assert fn is mlstm_siging_chunkwise_pallas
+
+
+@pytest.mark.parametrize("chunk_size", [16, 32])
+def test_pallas_fw_matches_jnp(rng, chunk_size):
+    args = make_args(rng)
+    h_ref = mlstm_siging_chunkwise(*args, chunk_size=chunk_size)
+    h_pl = mlstm_siging_chunkwise_pallas(
+        *args, chunk_size=chunk_size, compute_dtype=jnp.float32
+    )
+    np.testing.assert_allclose(np.asarray(h_pl), np.asarray(h_ref), atol=3e-5, rtol=1e-4)
+
+
+def test_pallas_fw_with_states(rng):
+    q, k, v, i, f = make_args(rng, S=32)
+    h_full = mlstm_siging_chunkwise_pallas(
+        q, k, v, i, f, chunk_size=16, compute_dtype=jnp.float32
+    )
+    h1, (C, n) = mlstm_siging_chunkwise_pallas(
+        q[:, :, :16], k[:, :, :16], v[:, :, :16], i[:, :, :16], f[:, :, :16],
+        chunk_size=16, return_last_states=True, compute_dtype=jnp.float32,
+    )
+    h2 = mlstm_siging_chunkwise_pallas(
+        q[:, :, 16:], k[:, :, 16:], v[:, :, 16:], i[:, :, 16:], f[:, :, 16:],
+        chunk_size=16, c_initial=C, n_initial=n, compute_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate([h1, h2], axis=2)), np.asarray(h_full),
+        atol=3e-5, rtol=1e-4,
+    )
+
+
+def test_pallas_grads_match_jnp(rng):
+    """The hand-written VJP must agree with JAX AD of the jnp scan —
+    *with* the denominator stop-gradient semantics the reference uses."""
+    args = make_args(rng, B=1, NH=2, S=32, DHQK=8, DHHV=8)
+
+    def loss_pl(*a):
+        return (mlstm_siging_chunkwise_pallas(
+            *a, chunk_size=16, compute_dtype=jnp.float32
+        ) ** 2).sum()
+
+    # jnp reference with the same stop-grad-through-denominator semantics
+    def loss_ref(*a):
+        return (mlstm_siging_chunkwise(
+            *a, chunk_size=16, stopgrad_norm=True
+        ) ** 2).sum()
+
+    g_pl = jax.grad(loss_pl, argnums=(0, 1, 2, 3, 4))(*args)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(*args)
+    for a, b, name in zip(g_ref, g_pl, "qkvif"):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-3, rtol=5e-3, err_msg=f"grad {name}"
+        )

@@ -49,6 +49,7 @@ class ConvBNAct(nn.Module):
     d: int = 1
     act: str | None = "silu"  # silu | gelu | relu | None
     training: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -61,12 +62,14 @@ class ConvBNAct(nn.Module):
             feature_group_count=self.g,
             kernel_dilation=(self.d, self.d),
             use_bias=False,
+            dtype=self.dtype,
             name="conv",
         )(x)
         y = nn.BatchNorm(
             use_running_average=not self.training,
             momentum=0.97,
             epsilon=1e-3,
+            dtype=self.dtype,
             name="bn",
         )(y)
         return _act(y, self.act)
@@ -92,11 +95,12 @@ class DWConvBlock(ConvBNAct):
         y = nn.Conv(
             self.c2, (self.k, self.k), strides=(self.s, self.s),
             padding=[(pad, pad), (pad, pad)], feature_group_count=g,
-            kernel_dilation=(self.d, self.d), use_bias=False, name="conv",
+            kernel_dilation=(self.d, self.d), use_bias=False, dtype=self.dtype,
+            name="conv",
         )(x)
         y = nn.BatchNorm(
             use_running_average=not self.training, momentum=0.97, epsilon=1e-3,
-            name="bn",
+            dtype=self.dtype, name="bn",
         )(y)
         return _act(y, self.act)
 
@@ -129,10 +133,11 @@ class VitPatchEmbedBlock(nn.Module):
     dim: int
     resolution: Sequence[int]
     patch_size: Sequence[int]
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        y = VitPatchEmbed(dim=self.dim, patch_size=tuple(self.patch_size), name="module")(x)
+        y = VitPatchEmbed(dim=self.dim, patch_size=tuple(self.patch_size), dtype=self.dtype, name="module")(x)
         B, H, W, D = y.shape
         return y  # keep grid; pos-embed block consumes grid
 
@@ -233,20 +238,21 @@ class LSBlock(nn.Module):
 
     dim: int
     training: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         y = nn.Conv(
             self.dim, (3, 3), padding="SAME", feature_group_count=self.dim,
-            name="fc1",
+            dtype=self.dtype, name="fc1",
         )(x)
         y = nn.BatchNorm(
             use_running_average=not self.training, momentum=0.97, epsilon=1e-3,
-            name="norm",
+            dtype=self.dtype, name="norm",
         )(y)
-        y = nn.Conv(self.dim, (1, 1), name="fc2")(y)
+        y = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="fc2")(y)
         y = nn.gelu(y)
-        y = nn.Conv(self.dim, (1, 1), name="fc3")(y)
+        y = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="fc3")(y)
         return x + y
 
 
@@ -258,17 +264,19 @@ class RGBlock(nn.Module):
 
     dim: int
     hidden_dim: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         local = int(2 * self.hidden_dim / 3)
-        y = nn.Conv(local * 2, (1, 1), name="fc1")(x)
+        y = nn.Conv(local * 2, (1, 1), dtype=self.dtype, name="fc1")(x)
         a, v = jnp.split(y, 2, axis=-1)
         a = nn.gelu(
-            nn.Conv(local, (3, 3), padding="SAME", feature_group_count=local, name="dwconv")(a)
+            nn.Conv(local, (3, 3), padding="SAME", feature_group_count=local,
+                    dtype=self.dtype, name="dwconv")(a)
             + a
         )
-        return nn.Conv(self.dim, (1, 1), name="fc2")(a * v)
+        return nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="fc2")(a * v)
 
 
 class ViLFusionBlock(nn.Module):
@@ -293,14 +301,16 @@ class ViLFusionBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         if self.c1 != self.dim:
-            x = nn.Conv(self.dim, (1, 1), use_bias=False, name="in_proj_conv")(x)
+            x = nn.Conv(self.dim, (1, 1), use_bias=False, dtype=self.compute_dtype,
+                        name="in_proj_conv")(x)
             x = nn.BatchNorm(
                 use_running_average=not self.training, momentum=0.97, epsilon=1e-3,
-                name="in_proj_bn",
+                dtype=self.compute_dtype, name="in_proj_bn",
             )(x)
             x = nn.silu(x)
 
-        x_local = LSBlock(dim=self.dim, training=self.training, name="lsblock")(x)
+        x_local = LSBlock(dim=self.dim, training=self.training,
+                          dtype=self.compute_dtype, name="lsblock")(x)
 
         B, H, W, C = x_local.shape
         seq = x_local.reshape(B, H * W, C)
@@ -322,7 +332,8 @@ class ViLFusionBlock(nn.Module):
         if self.mlp_ratio > 0:
             xn = RMSNorm(self.dim, eps=1e-6, name="norm2")(x.reshape(B, H * W, C))
             xm = RGBlock(
-                dim=self.dim, hidden_dim=int(self.dim * self.mlp_ratio), name="mlp"
+                dim=self.dim, hidden_dim=int(self.dim * self.mlp_ratio),
+                dtype=self.compute_dtype, name="mlp"
             )(xn.reshape(B, H, W, C))
             x = x + xm
         return x

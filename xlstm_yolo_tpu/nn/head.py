@@ -74,6 +74,7 @@ class Detect(nn.Module):
     legacy: bool = False
     training: bool = False
     img_size: int = 640  # nominal size used only for cls bias init
+    dtype: Any = None
 
     @property
     def no(self):
@@ -85,8 +86,8 @@ class Detect(nn.Module):
         c3 = max(self.ch[0], min(self.nc, 100))
         outs = []
         for i, x in enumerate(feats):
-            box = ConvBNAct(c2, 3, training=self.training, name=f"cv2{suffix}_{i}_0")(x)
-            box = ConvBNAct(c2, 3, training=self.training, name=f"cv2{suffix}_{i}_1")(box)
+            box = ConvBNAct(c2, 3, training=self.training, dtype=self.dtype, name=f"cv2{suffix}_{i}_0")(x)
+            box = ConvBNAct(c2, 3, training=self.training, dtype=self.dtype, name=f"cv2{suffix}_{i}_1")(box)
             box = nn.Conv(
                 4 * self.reg_max, (1, 1),
                 bias_init=nn.initializers.constant(1.0),
@@ -95,14 +96,14 @@ class Detect(nn.Module):
 
             cin = x.shape[-1]
             if self.legacy:
-                cls = ConvBNAct(c3, 3, training=self.training, name=f"cv3{suffix}_{i}_0")(x)
-                cls = ConvBNAct(c3, 3, training=self.training, name=f"cv3{suffix}_{i}_1")(cls)
+                cls = ConvBNAct(c3, 3, training=self.training, dtype=self.dtype, name=f"cv3{suffix}_{i}_0")(x)
+                cls = ConvBNAct(c3, 3, training=self.training, dtype=self.dtype, name=f"cv3{suffix}_{i}_1")(cls)
             else:
                 # light depthwise cls tower (head.py:208-218 / v10 at :805)
-                cls = ConvBNAct(cin, 3, g=cin, training=self.training, name=f"cv3{suffix}_{i}_0_0")(x)
-                cls = ConvBNAct(c3, 1, training=self.training, name=f"cv3{suffix}_{i}_0_1")(cls)
-                cls = ConvBNAct(c3, 3, g=c3, training=self.training, name=f"cv3{suffix}_{i}_1_0")(cls)
-                cls = ConvBNAct(c3, 1, training=self.training, name=f"cv3{suffix}_{i}_1_1")(cls)
+                cls = ConvBNAct(cin, 3, g=cin, training=self.training, dtype=self.dtype, name=f"cv3{suffix}_{i}_0_0")(x)
+                cls = ConvBNAct(c3, 1, training=self.training, dtype=self.dtype, name=f"cv3{suffix}_{i}_0_1")(cls)
+                cls = ConvBNAct(c3, 3, g=c3, training=self.training, dtype=self.dtype, name=f"cv3{suffix}_{i}_1_0")(cls)
+                cls = ConvBNAct(c3, 1, training=self.training, dtype=self.dtype, name=f"cv3{suffix}_{i}_1_1")(cls)
             # cls bias: log(5 / nc / (img/stride)^2)  (head.py:294-308)
             s = strides[i]
             bias_val = math.log(5 / self.nc / (self.img_size / s) ** 2)

@@ -177,6 +177,7 @@ class SequenceConv2d(nn.Module):
     seqlens: Sequence[int] | None = None
     use_bias: bool = True
     groups: int | None = None  # default: depthwise
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -196,6 +197,7 @@ class SequenceConv2d(nn.Module):
             padding="SAME",
             feature_group_count=groups,
             use_bias=self.use_bias,
+            dtype=self.dtype,
             name="conv",
         )(xi)
         return y.reshape(B, h * w, out_dim)
@@ -210,6 +212,7 @@ class VitPatchEmbed(nn.Module):
 
     dim: int
     patch_size: Sequence[int] = (8, 8)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -223,6 +226,7 @@ class VitPatchEmbed(nn.Module):
             strides=(ph, pw),
             padding="VALID",
             kernel_init=_xavier_uniform_flat,
+            dtype=self.dtype,
             name="proj",
         )(x)
 
@@ -372,6 +376,7 @@ class MatrixLSTMCell(nn.Module):
         cd = self.compute_dtype or q.dtype
         qh, kh, vh = heads(q).astype(cd), heads(k).astype(cd), heads(v).astype(cd)
 
+        is_pallas = "pallas" in self.chunkwise_kernel
         cfg = ops_backend.mLSTMBackendConfig(
             chunkwise_kernel=self.chunkwise_kernel,
             sequence_kernel=self.sequence_kernel,
@@ -380,6 +385,10 @@ class MatrixLSTMCell(nn.Module):
             chunk_size=self.chunk_size,
             eps=self.eps,
             return_last_states=state is not None,
+            # Pallas tiles lanes in 128s: zero-padding S to the configured chunk
+            # (+4% at S=6400/L=512) beats a 400-wide divisor chunk (+28%
+            # lane padding); the jnp path prefers exact divisor chunks.
+            auto_divisor_chunking=not is_pallas,
         )
         fn = ops_backend.make_backend(cfg)
         if self.mode == "inference" and state is not None:
@@ -457,25 +466,26 @@ class ViLLayer(nn.Module):
                 xn = jnp.flip(xn, axis=1)
             x_inner = nn.Dense(
                 2 * inner, use_bias=self.proj_bias, kernel_init=small_init(dim),
-                name="proj_up",
+                dtype=self.compute_dtype, name="proj_up",
             )(xn)
             x_qk, x_v = jnp.split(x_inner, 2, axis=-1)
             if self.conv_kind == "2d":
                 conv_out = SequenceConv2d(
                     dim=inner, kernel_size=self.conv_kernel_size,
-                    seqlens=self.seqlens, use_bias=self.conv_bias, name="conv",
+                    seqlens=self.seqlens, use_bias=self.conv_bias,
+                    dtype=self.compute_dtype, name="conv",
                 )(x_qk)
             else:
                 conv_out = x_qk
             x_qk_act = nn.silu(conv_out)
             qk = nn.Dense(
                 2 * inner, use_bias=self.proj_bias, kernel_init=small_init(dim),
-                name="qk_proj",
+                dtype=self.compute_dtype, name="qk_proj",
             )(x_qk_act)
             q, k = jnp.split(qk, 2, axis=-1)
             v = nn.Dense(
                 inner, use_bias=self.proj_bias, kernel_init=small_init(dim),
-                name="v_proj",
+                dtype=self.compute_dtype, name="v_proj",
             )(x_v)
 
             mode = self.mode or ("train_with_padding" if self.training else "inference")
@@ -488,7 +498,7 @@ class ViLLayer(nn.Module):
             skip = self.param("learnable_skip", nn.initializers.ones, (inner,), f32)
             h = h + skip.astype(h.dtype) * x_qk_act
             out = nn.Dense(
-                dim, use_bias=self.proj_bias,
+                dim, use_bias=self.proj_bias, dtype=self.compute_dtype,
                 kernel_init=wang_init(dim, self.num_blocks), name="proj_down",
             )(h)
             if self.direction == BACKWARD:
@@ -502,7 +512,7 @@ class ViLLayer(nn.Module):
         ffn_out = FeedForward(
             dim=dim, proj_factor=self.ffn_proj_factor,
             round_up_to=self.ffn_round_up_to, use_bias=self.proj_bias,
-            num_blocks=self.num_blocks, name="ffn",
+            num_blocks=self.num_blocks, dtype=self.compute_dtype, name="ffn",
         )(xf)
         dp2 = DropPath(drop_prob=self.drop_path, training=self.training)
         return dp2(x, ffn_out)

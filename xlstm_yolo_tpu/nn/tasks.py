@@ -22,7 +22,16 @@ from flax import linen as nn
 from xlstm_yolo_tpu.nn import blocks as B
 from xlstm_yolo_tpu.nn import head as H
 
-DEFAULT_CHUNKWISE_KERNEL = "chunkwise--native_autograd"
+DEFAULT_CHUNKWISE_KERNEL = "auto"
+
+
+def resolve_chunkwise_kernel(name: str) -> str:
+    """'auto' -> Pallas TPU kernels on accelerator, jnp scan on CPU."""
+    if name != "auto":
+        return name
+    if jax.devices()[0].platform == "cpu":
+        return "chunkwise--native_autograd"
+    return "chunkwise--pallas_xl_chunk_siging"
 
 
 def make_divisible(x: float, divisor: int = 8) -> int:
@@ -142,7 +151,8 @@ def build_module(spec: dict, nc: int, training: bool, chunkwise_kernel: str,
     if name == "VitPatchEmbedBlock":
         _, c2, resolution, patch = args
         return B.VitPatchEmbedBlock(dim=c2, resolution=tuple(resolution),
-                                    patch_size=tuple(patch), name=mname)
+                                    patch_size=tuple(patch), dtype=compute_dtype,
+                                    name=mname)
     if name == "VitPosEmbedBlock":
         _, c2, seqlens = args
         return B.VitPosEmbedBlock(dim=c2, seqlens=tuple(seqlens), name=mname)
@@ -172,12 +182,12 @@ def build_module(spec: dict, nc: int, training: bool, chunkwise_kernel: str,
         c2 = args[0]
         k = args[1] if len(args) > 1 else 1
         s = args[2] if len(args) > 2 else 1
-        return B.ConvBNAct(c2=c2, k=k, s=s, training=training, name=mname)
+        return B.ConvBNAct(c2=c2, k=k, s=s, training=training, dtype=compute_dtype, name=mname)
     if name == "DWConv":
         c2 = args[0]
         k = args[1] if len(args) > 1 else 1
         s = args[2] if len(args) > 2 else 1
-        return B.DWConvBlock(c2=c2, k=k, s=s, training=training, name=mname)
+        return B.DWConvBlock(c2=c2, k=k, s=s, training=training, dtype=compute_dtype, name=mname)
     if name == "C2f":
         c2 = args[0]
         shortcut = bool(args[1]) if len(args) > 1 else False
@@ -196,7 +206,7 @@ def build_module(spec: dict, nc: int, training: bool, chunkwise_kernel: str,
     if name in {"Detect", "v10Detect"}:
         cls = H.v10Detect if name == "v10Detect" else H.Detect
         return cls(nc=args[0] if args else nc, ch=kw["ch"], training=training,
-                   img_size=img_size, name=mname)
+                   img_size=img_size, dtype=compute_dtype, name=mname)
     raise ValueError(f"no builder for module '{name}'")
 
 
@@ -273,6 +283,7 @@ def build_detection_model(
     if nc is not None and nc != d.get("nc"):
         d["nc"] = nc
     specs, save, ch_list = parse_model_specs(d, ch=ch, scale=scale)
+    chunkwise_kernel = resolve_chunkwise_kernel(chunkwise_kernel)
     model = DetectionModel(
         specs=tuple(specs),
         save=tuple(save),

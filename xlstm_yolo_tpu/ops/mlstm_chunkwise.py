@@ -93,11 +93,14 @@ def mlstm_siging_chunkwise(
     return_last_states: bool = False,
     eps: float = 1e-6,
     compute_dtype: jnp.dtype | None = None,
+    stopgrad_norm: bool = False,
 ):
     """Chunkwise sigmoid-input-gate mLSTM (linear time, fully jittable).
 
     Returns ``h`` of shape (B, NH, S, DHHV) in the dtype of ``q`` and, if
     ``return_last_states``, the final ``(C, n)`` state in float32.
+    ``stopgrad_norm`` detaches the max(|.|,1) denominator like the
+    reference's custom backward (and our Pallas VJP) does.
     """
     B, NH, S, DHQK = q.shape
     DHHV = v.shape[-1]
@@ -181,6 +184,8 @@ def mlstm_siging_chunkwise(
             "bhnld,bhnd->bhnl", qbar, n_prev, preferred_element_type=f32
         )
         den = jnp.maximum(jnp.abs(n_inter + n_intra), 1.0)
+        if stopgrad_norm:
+            den = jax.lax.stop_gradient(den)
         h = num / (den[..., None] + eps)
     else:
         h = num

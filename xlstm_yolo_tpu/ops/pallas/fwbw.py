@@ -1,0 +1,6 @@
+"""Registration of the Pallas TPU kernels into the kernel registry."""
+
+from xlstm_yolo_tpu.ops.backend import register_kernel
+from xlstm_yolo_tpu.ops.pallas.chunkwise import mlstm_siging_chunkwise_pallas
+
+register_kernel("chunkwise", "pallas_xl_chunk_siging", mlstm_siging_chunkwise_pallas)
