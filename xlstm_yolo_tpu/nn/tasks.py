@@ -26,12 +26,19 @@ DEFAULT_CHUNKWISE_KERNEL = "auto"
 
 
 def resolve_chunkwise_kernel(name: str) -> str:
-    """'auto' -> Pallas TPU kernels on accelerator, jnp scan on CPU."""
+    """'auto' -> the XLA chunkwise scan everywhere (for now).
+
+    The Pallas kernels are faster in isolation (0.64 ms vs 0.89 ms fw at
+    flagship shapes) and pass parity tests standalone at every model
+    shape, but embedding ~30 of them in the full detection graph
+    currently faults the remote TPU worker (under investigation); the
+    model path therefore defaults to the XLA scan until that is root-
+    caused.  Opt in explicitly with
+    chunkwise_kernel='chunkwise--pallas_xl_chunk_siging'.
+    """
     if name != "auto":
         return name
-    if jax.devices()[0].platform == "cpu":
-        return "chunkwise--native_autograd"
-    return "chunkwise--pallas_xl_chunk_siging"
+    return "chunkwise--native_autograd"
 
 
 def make_divisible(x: float, divisor: int = 8) -> int:
