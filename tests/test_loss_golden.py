@@ -1,0 +1,96 @@
+"""Loss/TAL golden test vs the reference torch implementation.
+
+Feeds identical synthetic head outputs + targets to the reference's
+v8DetectionLoss (CPU torch) and our fixed-shape JAX loss; the TAL
+assignment and the box/cls/dfl loss items must agree.
+"""
+
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+import ref_loader  # noqa: E402
+
+if not ref_loader.REF.exists():
+    pytest.skip("reference tree not mounted", allow_module_level=True)
+
+ref_loader.load_reference()
+
+import torch  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from xlstm_yolo_tpu.utils.loss import v8_detection_loss  # noqa: E402
+
+
+class _FakeDetect(torch.nn.Module):
+    def __init__(self, nc, strides):
+        super().__init__()
+        self.nc = nc
+        self.reg_max = 16
+        self.stride = torch.tensor(strides, dtype=torch.float32)
+        self._p = torch.nn.Parameter(torch.zeros(1))
+
+
+class _FakeModel(torch.nn.Module):
+    def __init__(self, nc, strides):
+        super().__init__()
+        self.model = torch.nn.ModuleList([_FakeDetect(nc, strides)])
+        self.args = types.SimpleNamespace(box=7.5, cls=0.5, dfl=1.5)
+
+
+def test_v8_loss_matches_reference():
+    from ultralytics.utils.loss import v8DetectionLoss
+
+    rng = np.random.default_rng(3)
+    B, nc = 2, 4
+    strides = [8.0, 16.0]
+    shapes = [(16, 16), (8, 8)]  # imgsz 128
+    no = nc + 64
+
+    feats_np = [rng.normal(size=(B, no, h, w)).astype(np.float32) * 0.5 for h, w in shapes]
+
+    # targets: 3 boxes in image 0, 1 box in image 1 (normalized xywh)
+    batch_idx = np.array([0, 0, 0, 1], np.float32)
+    cls = np.array([0, 1, 2, 3], np.float32)
+    xywh = np.array(
+        [[0.3, 0.3, 0.2, 0.25], [0.7, 0.6, 0.3, 0.3], [0.2, 0.8, 0.15, 0.2],
+         [0.5, 0.5, 0.4, 0.5]],
+        np.float32,
+    )
+
+    loss_fn = v8DetectionLoss(_FakeModel(nc, strides), tal_topk=10)
+    tbatch = {
+        "batch_idx": torch.from_numpy(batch_idx),
+        "cls": torch.from_numpy(cls),
+        "bboxes": torch.from_numpy(xywh),
+    }
+    with torch.no_grad():
+        total_t, items_t = loss_fn([torch.from_numpy(f) for f in feats_np], tbatch)
+    items_t = items_t.numpy()  # [box, cls, dfl] (gain-scaled)
+
+    # ours: NHWC feats, padded per-image targets in pixel xyxy
+    feats_j = [jnp.asarray(f.transpose(0, 2, 3, 1)) for f in feats_np]
+    imgsz = 128.0
+    M = 8
+    gt_cls = np.zeros((B, M), np.int32)
+    gt_box = np.zeros((B, M, 4), np.float32)
+    gt_mask = np.zeros((B, M), bool)
+    for bi in range(B):
+        sel = batch_idx == bi
+        n = sel.sum()
+        gt_cls[bi, :n] = cls[sel].astype(np.int32)
+        b = xywh[sel] * imgsz
+        gt_box[bi, :n] = np.concatenate([b[:, :2] - b[:, 2:] / 2, b[:, :2] + b[:, 2:] / 2], 1)
+        gt_mask[bi, :n] = True
+
+    total_j, items_j = v8_detection_loss(
+        feats_j, jnp.asarray(gt_cls), jnp.asarray(gt_box), jnp.asarray(gt_mask),
+        strides, nc=nc, tal_topk=10,
+    )
+    ours = np.array([float(items_j.box), float(items_j.cls), float(items_j.dfl)])
+    np.testing.assert_allclose(ours, items_t, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(float(total_j), float(total_t), rtol=2e-3)

@@ -115,7 +115,10 @@ def task_aligned_assign(
 
     # 3) top-k per gt over anchors, duplicates and invalid gts removed
     topk_vals, topk_idx = jax.lax.top_k(align_metric, topk)  # (B, M, topk)
-    topk_valid = mask_gt[..., None] & (topk_vals > eps)  # like reference topk_mask
+    # parity: with an explicit gt-validity mask the reference does NOT
+    # drop zero-metric candidates from the top-k (tal.py:176-180) — an
+    # in-box anchor whose prediction has zero IoU still gets assigned.
+    topk_valid = jnp.broadcast_to(mask_gt[..., None], topk_idx.shape)
     counts = jnp.sum(
         jax.nn.one_hot(topk_idx, A, dtype=jnp.int32)
         * topk_valid[..., None].astype(jnp.int32),
