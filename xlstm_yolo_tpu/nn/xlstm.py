@@ -92,7 +92,7 @@ class sLSTMCell(nn.Module):
 
         if state is None:
             zeros = jnp.zeros((B, NH, DH), f32)
-            state = (zeros, zeros, zeros, jnp.zeros((B, NH, DH), f32) - jnp.inf * 0)
+            state = (zeros, zeros, zeros, zeros)  # h, c, n, m (m_0 = 0)
         h0, c0, n0, m0 = state
 
         wx_heads = wx.reshape(B, S, 4, NH, DH).astype(f32)
