@@ -74,3 +74,23 @@ def test_pallas_grads_match_jnp(rng):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=2e-3, rtol=5e-3, err_msg=f"grad {name}"
         )
+
+
+def test_pallas_step_matches_native(rng):
+    from xlstm_yolo_tpu.ops.mlstm_recurrent import mlstm_siging_step
+    from xlstm_yolo_tpu.ops.pallas.step import mlstm_siging_step_pallas
+
+    B, NH, DH = 2, 3, 16
+    q = jnp.asarray(rng.normal(size=(B, NH, DH)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, NH, DH)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, NH, DH)), jnp.float32)
+    i = jnp.asarray(rng.normal(size=(B, NH)) - 5, jnp.float32)
+    f = jnp.asarray(rng.normal(size=(B, NH)) + 4, jnp.float32)
+    C = jnp.asarray(rng.normal(size=(B, NH, DH, DH)), jnp.float32)
+    n = jnp.asarray(rng.normal(size=(B, NH, DH)), jnp.float32)
+
+    h_ref, (C_ref, n_ref) = mlstm_siging_step(q, k, v, i, f, C, n)
+    h_pl, (C_pl, n_pl) = mlstm_siging_step_pallas(q, k, v, i, f, C, n)
+    np.testing.assert_allclose(np.asarray(h_pl), np.asarray(h_ref), atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(C_pl), np.asarray(C_ref), atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(n_pl), np.asarray(n_ref), atol=2e-5, rtol=1e-4)

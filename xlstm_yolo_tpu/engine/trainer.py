@@ -115,13 +115,15 @@ class DetectionTrainer:
 
         # --- optimizer (nbs accumulation + lr scaling, trainer.py:298-320) ---
         nbs = int(args.nbs)
-        accumulate = max(round(nbs / batch), 1)
+        accumulate = min(max(round(nbs / batch), 1), nb)  # cap by batches/epoch
         weight_decay = float(args.weight_decay) * batch * accumulate / nbs
-        iterations = math.ceil(nb / accumulate) * epochs
-        warmup_steps = max(round(float(args.warmup_epochs) * nb), 100)
+        steps_per_epoch = max(nb // accumulate, 1)
+        iterations = steps_per_epoch * epochs
+        warmup_steps = max(round(float(args.warmup_epochs) * steps_per_epoch), 100)
         sched_fn = opt_lib.cosine_lr if args.cos_lr else opt_lib.linear_lr
         schedule = sched_fn(
-            float(args.lr0), float(args.lrf), epochs, nb, warmup_steps=warmup_steps
+            float(args.lr0), float(args.lrf), epochs, steps_per_epoch,
+            warmup_steps=warmup_steps,
         )
         tx, lr0, opt_name = opt_lib.build_optimizer(
             variables["params"], name=args.optimizer, lr=float(args.lr0),
@@ -134,7 +136,10 @@ class DetectionTrainer:
                 self.wdir / "last", state
             )
 
-        train_step = make_train_step(model_t, tx, nc=nc)
+        # grad accumulation: collect `accumulate` loader batches and scan
+        # over them as microbatches inside one optimizer step (the nbs
+        # semantics of trainer.py:304,372)
+        train_step = make_train_step(model_t, tx, nc=nc, accumulate=accumulate)
         # buffer donation halves peak HBM on TPU; the XLA *CPU* runtime
         # deadlocks its collective rendezvous when donated multi-device
         # buffers are in play (observed on the 8-virtual-device harness),
@@ -165,14 +170,32 @@ class DetectionTrainer:
 
             losses = []
             t_ep = time.time()
+            micro_queue = []
             for bi, host_batch in enumerate(loader._iter_epoch(epoch)):
-                dev_batch = {
-                    "img": jnp.asarray(host_batch["img"], jnp.float32) / 255.0,
-                    "cls": jnp.asarray(host_batch["cls"]),
-                    "bboxes": jnp.asarray(host_batch["bboxes"]),
-                    "mask": jnp.asarray(host_batch["mask"]),
-                }
-                dev_batch = mesh_lib.shard_host_batch(dev_batch, mesh)
+                micro_queue.append(host_batch)
+                if len(micro_queue) < accumulate:
+                    continue
+                if accumulate == 1:
+                    hb = micro_queue[0]
+                    dev_batch = {
+                        "img": jnp.asarray(hb["img"], jnp.float32) / 255.0,
+                        "cls": jnp.asarray(hb["cls"]),
+                        "bboxes": jnp.asarray(hb["bboxes"]),
+                        "mask": jnp.asarray(hb["mask"]),
+                    }
+                else:
+                    dev_batch = {
+                        "img": jnp.asarray(
+                            np.stack([b["img"] for b in micro_queue]), jnp.float32
+                        ) / 255.0,
+                        "cls": jnp.asarray(np.stack([b["cls"] for b in micro_queue])),
+                        "bboxes": jnp.asarray(np.stack([b["bboxes"] for b in micro_queue])),
+                        "mask": jnp.asarray(np.stack([b["mask"] for b in micro_queue])),
+                    }
+                micro_queue = []
+                dev_batch = mesh_lib.shard_host_batch(
+                    dev_batch, mesh, axis=0 if accumulate == 1 else 1
+                )
                 step_rng, sub = jax.random.split(step_rng)
                 state, metrics = step_jit(state, dev_batch, sub)
                 losses.append(metrics)

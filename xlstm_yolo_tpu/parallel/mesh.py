@@ -73,18 +73,23 @@ def make_param_shardings(mesh: Mesh, tree: Any) -> Any:
     )
 
 
-def make_batch_sharding(mesh: Mesh, tree: Any) -> Any:
-    """Shard the leading (batch) dim of every batch leaf on 'data'."""
-    return jax.tree.map(
-        lambda l: NamedSharding(mesh, P(DATA_AXIS, *([None] * (l.ndim - 1)))), tree
-    )
+def make_batch_sharding(mesh: Mesh, tree: Any, axis: int = 0) -> Any:
+    """Shard dim ``axis`` of every batch leaf on 'data' (axis 1 for
+    microbatch-stacked (k, B, ...) grad-accumulation batches)."""
+
+    def spec(l):
+        dims = [None] * l.ndim
+        dims[axis] = DATA_AXIS
+        return NamedSharding(mesh, P(*dims))
+
+    return jax.tree.map(spec, tree)
 
 
 def replicated(mesh: Mesh, tree: Any) -> Any:
     return jax.tree.map(lambda _: NamedSharding(mesh, P()), tree)
 
 
-def shard_host_batch(batch: Any, mesh: Mesh) -> Any:
+def shard_host_batch(batch: Any, mesh: Mesh, axis: int = 0) -> Any:
     """Device-put a host batch with per-leaf batch sharding."""
-    sh = make_batch_sharding(mesh, batch)
+    sh = make_batch_sharding(mesh, batch, axis=axis)
     return jax.tree.map(jax.device_put, batch, sh)
