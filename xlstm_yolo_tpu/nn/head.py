@@ -75,6 +75,10 @@ class Detect(nn.Module):
     training: bool = False
     img_size: int = 640  # nominal size used only for cls bias init
     dtype: Any = None
+    # skip the final top-k/gather stage so it can run as a separate tiny
+    # program (workaround: that stage co-compiled with Pallas custom
+    # calls faults the TPU runtime at batch>1 — docs/KNOWN_ISSUES.md)
+    decode_only: bool = False
 
     @property
     def no(self):
@@ -141,7 +145,8 @@ class Detect(nn.Module):
             if self.training:
                 return {"one2many": one2many, "one2one": one2one}
             y = self._decode(one2one, strides)
-            y = topk_postprocess(y, self.max_det, self.nc)
+            if not self.decode_only:
+                y = topk_postprocess(y, self.max_det, self.nc)
             return y, {"one2many": one2many, "one2one": one2one}
 
         one2many = self._branches(feats, strides, suffix="")

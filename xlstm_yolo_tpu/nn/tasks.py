@@ -148,7 +148,7 @@ def _vil_config(args_cfg: dict) -> dict:
 
 
 def build_module(spec: dict, nc: int, training: bool, chunkwise_kernel: str,
-                 compute_dtype, img_size: int):
+                 compute_dtype, img_size: int, decode_only: bool = False):
     """Instantiate the flax module for one layer spec."""
     name, args, kw = spec["module"], spec["args"], spec["kwargs"]
     vilkw = dict(training=training, chunkwise_kernel=chunkwise_kernel,
@@ -213,7 +213,8 @@ def build_module(spec: dict, nc: int, training: bool, chunkwise_kernel: str,
     if name in {"Detect", "v10Detect"}:
         cls = H.v10Detect if name == "v10Detect" else H.Detect
         return cls(nc=args[0] if args else nc, ch=kw["ch"], training=training,
-                   img_size=img_size, dtype=compute_dtype, name=mname)
+                   img_size=img_size, dtype=compute_dtype, decode_only=decode_only,
+                   name=mname)
     raise ValueError(f"no builder for module '{name}'")
 
 
@@ -247,12 +248,13 @@ class DetectionModel(nn.Module):
     chunkwise_kernel: str = DEFAULT_CHUNKWISE_KERNEL
     compute_dtype: Any = None
     img_size: int = 640
+    decode_only: bool = False
 
     def setup(self):
         self.layers = [
             build_module(
                 s, self.nc, self.training, self.chunkwise_kernel,
-                self.compute_dtype, self.img_size,
+                self.compute_dtype, self.img_size, self.decode_only,
             )
             for s in self.specs
         ]
@@ -284,6 +286,7 @@ def build_detection_model(
     training: bool = False,
     chunkwise_kernel: str = DEFAULT_CHUNKWISE_KERNEL,
     compute_dtype=None,
+    decode_only: bool = False,
 ) -> tuple[DetectionModel, dict]:
     """Compile a model YAML into a DetectionModel (+ resolved cfg dict)."""
     d = yaml_model_load(cfg)
@@ -299,5 +302,6 @@ def build_detection_model(
         chunkwise_kernel=chunkwise_kernel,
         compute_dtype=compute_dtype,
         img_size=int(d.get("imgsz", 640)),
+        decode_only=decode_only,
     )
     return model, d
