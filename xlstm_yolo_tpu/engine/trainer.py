@@ -28,7 +28,7 @@ from xlstm_yolo_tpu.engine.steps import TrainState, make_train_step
 from xlstm_yolo_tpu.engine.validator import DetectionValidator
 from xlstm_yolo_tpu.nn.tasks import build_detection_model
 from xlstm_yolo_tpu.parallel import mesh as mesh_lib
-from xlstm_yolo_tpu.utils.callbacks import Callbacks
+from xlstm_yolo_tpu.utils.callbacks import Callbacks, add_tensorboard
 from xlstm_yolo_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
 
@@ -56,6 +56,8 @@ class DetectionTrainer:
         self.args = cfg if isinstance(cfg, SimpleNamespace) else get_cfg(cfg, overrides)
         self.model_cfg = model_cfg or self.args.model
         self.callbacks = Callbacks()
+        if getattr(self.args, "plots", True):
+            add_tensorboard(self.callbacks, str(self._get_save_dir() / "tb"))
         self.save_dir = self._get_save_dir()
         self.wdir = self.save_dir / "weights"
         self.csv_path = self.save_dir / "results.csv"
@@ -109,6 +111,7 @@ class DetectionTrainer:
         loader = build_dataloader(
             trainset, batch, workers=int(args.workers), shuffle=True,
             seed=int(args.seed),
+            rank=jax.process_index(), world_size=jax.process_count(),
         )
         nb = max(len(loader), 1)  # batches per epoch
         epochs = int(args.epochs)
