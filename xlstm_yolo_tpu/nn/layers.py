@@ -488,7 +488,13 @@ class ViLLayer(nn.Module):
                 dtype=self.compute_dtype, name="v_proj",
             )(x_v)
 
-            mode = self.mode or ("train_with_padding" if self.training else "inference")
+            # parity note: the reference cell routes BOTH train and eval
+            # through its train_with_padding backend (vision_lstm2.py:708
+            # picks self.cpu_backend/gpu_backend in every branch — the
+            # *_infer backends are dead code), and padded chunkwise is
+            # also faster than the segment-split arbitrary-length wrapper
+            # for the fixed grid sizes this model sees.
+            mode = self.mode or "train_with_padding"
             h = MatrixLSTMCell(
                 dim=inner, num_heads=nh, chunk_size=self.chunk_size, mode=mode,
                 gate_soft_cap=self.gate_soft_cap, norm_bias=self.norm_bias,
