@@ -491,10 +491,14 @@ class ViLLayer(nn.Module):
             # parity note: the reference cell routes BOTH train and eval
             # through its train_with_padding backend (vision_lstm2.py:708
             # picks self.cpu_backend/gpu_backend in every branch — the
-            # *_infer backends are dead code), and padded chunkwise is
-            # also faster than the segment-split arbitrary-length wrapper
-            # for the fixed grid sizes this model sees.
-            mode = self.mode or "train_with_padding"
+            # *_infer backends are dead code).  We would match that, but
+            # the batch-8 padded-eval program triggers a program-shape-
+            # dependent fault in the current remote TPU runtime
+            # (docs/KNOWN_ISSUES.md), while the segment-split inference
+            # wrapper compiles a known-good program — so eval keeps the
+            # wrapper for now.  Both pass the CPU goldens vs the torch
+            # reference (numerics are chunking-invariant).
+            mode = self.mode or ("train_with_padding" if self.training else "inference")
             h = MatrixLSTMCell(
                 dim=inner, num_heads=nh, chunk_size=self.chunk_size, mode=mode,
                 gate_soft_cap=self.gate_soft_cap, norm_bias=self.norm_bias,
