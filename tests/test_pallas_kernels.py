@@ -94,3 +94,20 @@ def test_pallas_step_matches_native(rng):
     np.testing.assert_allclose(np.asarray(h_pl), np.asarray(h_ref), atol=2e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(C_pl), np.asarray(C_ref), atol=2e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(n_pl), np.asarray(n_ref), atol=2e-5, rtol=1e-4)
+
+
+def test_pallas_exp_gate_fw_matches_jnp(rng):
+    from xlstm_yolo_tpu.ops import mlstm_chunkwise_stabilized
+    from xlstm_yolo_tpu.ops.pallas.chunkwise_exp import mlstm_chunkwise_exp_pallas
+
+    B, NH, S, DH = 2, 3, 64, 16
+    q = jnp.asarray(rng.normal(size=(B, NH, S, DH)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, NH, S, DH)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, NH, S, DH)), jnp.float32)
+    i = jnp.asarray(rng.normal(size=(B, NH, S)), jnp.float32)  # raw exp gate
+    f = jnp.asarray(rng.normal(size=(B, NH, S)) + 4.0, jnp.float32)
+    h_ref = mlstm_chunkwise_stabilized(q, k, v, i, f, chunk_size=16)
+    h_pl = mlstm_chunkwise_exp_pallas(
+        q, k, v, i, f, chunk_size=16, compute_dtype=jnp.float32
+    )
+    np.testing.assert_allclose(np.asarray(h_pl), np.asarray(h_ref), atol=3e-5, rtol=1e-4)

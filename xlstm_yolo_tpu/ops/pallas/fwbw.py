@@ -7,3 +7,6 @@ register_kernel("chunkwise", "pallas_xl_chunk_siging", mlstm_siging_chunkwise_pa
 from xlstm_yolo_tpu.ops.pallas.step import mlstm_siging_step_pallas
 
 register_kernel("step", "pallas", mlstm_siging_step_pallas)
+from xlstm_yolo_tpu.ops.pallas.chunkwise_exp import mlstm_chunkwise_exp_pallas
+
+register_kernel("chunkwise", "pallas_xl_chunk", mlstm_chunkwise_exp_pallas)
