@@ -127,3 +127,73 @@ def test_predictor_on_image(tmp_path):
         assert r.boxes.xyxy[:, 3].max() <= 120 + 1e-3
     js = r.summary()
     assert isinstance(js, list)
+
+
+def test_flagship_predict_bus_jpg():
+    """BASELINE config 1: 640-base192 single-image predict on bus.jpg (CPU)."""
+    from pathlib import Path
+
+    import pytest
+
+    bus = Path("/root/reference/ultralytics/assets/bus.jpg")
+    if not bus.exists():
+        pytest.skip("reference assets not mounted")
+
+    from xlstm_yolo_tpu.engine.model import YOLO
+
+    m = YOLO("vil-det-192.yaml")
+    results = m.predict(str(bus), conf=0.25)
+    assert len(results) == 1
+    r = results[0]
+    assert r.orig_img.shape[:2] == (1080, 810)
+    if len(r.boxes):  # random weights: boxes exist but are meaningless
+        assert r.boxes.xyxy[:, [0, 2]].max() <= 810 + 1e-3
+        assert r.boxes.xyxy[:, [1, 3]].max() <= 1080 + 1e-3
+    assert r.speed["inference"] > 0
+
+
+def test_video_track_bytetrack(tmp_path):
+    """BASELINE config 4: video stream predict + ByteTrack ids."""
+    import cv2
+
+    from xlstm_yolo_tpu.engine.model import YOLO
+
+    vid = tmp_path / "clip.mp4"
+    w = cv2.VideoWriter(str(vid), cv2.VideoWriter_fourcc(*"mp4v"), 10, (160, 160))
+    for t in range(6):
+        frame = np.full((160, 160, 3), 100, np.uint8)
+        cv2.rectangle(frame, (20 + 5 * t, 40), (60 + 5 * t, 100), (0, 0, 255), -1)
+        w.write(frame)
+    w.release()
+
+    m = YOLO(str(CFG_TINY))
+    results = m.track(str(vid), tracker="bytetrack.yaml", imgsz=160, conf=0.0)
+    assert len(results) == 6
+    for r in results:
+        assert r.boxes is not None
+        if len(r.boxes) and r.boxes.is_track:
+            assert (r.boxes.id >= 0).all()
+
+
+def test_validator_save_json(synth_dataset, tmp_path):
+    from xlstm_yolo_tpu.cfg import get_cfg
+    from xlstm_yolo_tpu.engine.model import YOLO
+    from xlstm_yolo_tpu.engine.validator import DetectionValidator
+    import json
+
+    m = YOLO(str(CFG_TINY))
+    bundle = m._get_bundle(imgsz=160)
+    cfg = get_cfg(overrides={
+        "imgsz": 160, "batch": 4, "workers": 2, "max_targets": 16,
+        "data": str(synth_dataset), "save_json": True, "plots": True,
+        "conf": 0.01,
+    })
+    v = DetectionValidator(cfg, data=str(synth_dataset), save_dir=tmp_path)
+    res = v(bundle, batch_size=4)
+    assert "fitness" in res and "metrics/mAP50-95(B)" in res
+    pred_file = tmp_path / "predictions.json"
+    assert pred_file.exists()
+    j = json.loads(pred_file.read_text())
+    if j:
+        assert {"image_id", "category_id", "bbox", "score"} <= set(j[0])
+    assert v.confusion_matrix.matrix.shape == (3, 3)

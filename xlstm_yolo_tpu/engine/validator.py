@@ -102,6 +102,10 @@ class DetectionValidator:
                 seen += 1
                 det = preds[i]
                 det = det[det[:, 4] > conf_thres]
+                # guard: a model with more classes than the dataset (e.g.
+                # un-finetuned nc=80 weights on a 2-class set) must not
+                # index past the metric tables
+                det = det[det[:, 5] < self.nc]
                 orig_shape = batch["orig_shape"][i]
                 ratio_pad = batch["ratio_pad"][i]
                 boxes = ops.scale_boxes(
