@@ -1,0 +1,34 @@
+"""Native C++ letterbox extension vs the cv2 reference path."""
+
+import numpy as np
+import pytest
+
+from xlstm_yolo_tpu.data.augment import LetterBox
+from xlstm_yolo_tpu.native import get_letterbox_native, letterbox_native
+
+
+@pytest.mark.skipif(get_letterbox_native() is None, reason="no C++ toolchain")
+def test_native_letterbox_matches_cv2():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (480, 640, 3), dtype=np.uint8)
+
+    out_n, ratio_n, pad_n = letterbox_native(img, 320, swap_rb=False)
+    out_c, ratio_c, pad_c = LetterBox((320, 320))(img)
+
+    assert out_n.shape == out_c.shape == (320, 320, 3)
+    assert abs(ratio_n - ratio_c[0]) < 1e-6
+    assert pad_n == pad_c
+    # padding areas identical
+    assert (out_n[:pad_n[1]] == 114).all() and (out_c[:pad_c[1]] == 114).all()
+    # bilinear content close to cv2's fixed-point bilinear (not bit-equal)
+    diff = np.abs(out_n.astype(int) - out_c.astype(int))
+    assert np.quantile(diff, 0.99) <= 3 and diff.mean() < 1.0
+
+
+@pytest.mark.skipif(get_letterbox_native() is None, reason="no C++ toolchain")
+def test_native_letterbox_rgb_swap():
+    img = np.zeros((100, 200, 3), np.uint8)
+    img[..., 0] = 200  # blue channel (BGR)
+    out, _, (left, top) = letterbox_native(img, 128, swap_rb=True)
+    center = out[64, 64]
+    assert center[2] == 200 and center[0] == 0  # blue moved to last (RGB)

@@ -47,10 +47,23 @@ class BasePredictor:
     # -- host stages ---------------------------------------------------------
     def preprocess(self, im_list: list[np.ndarray]):
         out, ratios_pads = [], []
+        native = None
+        try:
+            from xlstm_yolo_tpu.native import get_letterbox_native, letterbox_native
+
+            native = letterbox_native if get_letterbox_native() else None
+        except Exception:
+            native = None
         for im in im_list:
-            lb, ratio, pad = self.letterbox(im)
-            out.append(lb[..., ::-1])  # BGR -> RGB
-            ratios_pads.append((ratio, pad))
+            if native is not None:
+                # fused C++ resize+pad+BGR->RGB single pass
+                lb, ratio, pad = native(im, self.imgsz, swap_rb=True)
+                out.append(lb)
+                ratios_pads.append(((ratio, ratio), pad))
+            else:
+                lb, ratio, pad = self.letterbox(im)
+                out.append(lb[..., ::-1])  # BGR -> RGB
+                ratios_pads.append((ratio, pad))
         batch = np.ascontiguousarray(np.stack(out), dtype=np.uint8)
         return batch, ratios_pads
 
