@@ -125,3 +125,33 @@ def test_exporter_stablehlo(tmp_path):
     fn = load_stablehlo(path)
     y = fn(jnp.zeros((1, 160, 160, 3), jnp.uint8))
     assert np.asarray(y).shape == (1, 300, 6)
+
+
+def test_generic_yolo_yaml_with_conv_zoo(tmp_path):
+    """A conventional conv-based YOLO yaml (C3k2/SPPF/Detect) also compiles."""
+    import yaml as _yaml
+
+    from xlstm_yolo_tpu.nn.tasks import build_detection_model
+
+    d = {
+        "nc": 4,
+        "backbone": [
+            [-1, 1, "Conv", [16, 3, 2]],
+            [-1, 1, "Conv", [32, 3, 2]],
+            [-1, 2, "C3k2", [32, False]],
+            [-1, 1, "Conv", [64, 3, 2]],
+            [-1, 1, "C2f", [64, True]],
+            [-1, 1, "SPPF", [64, 5]],
+        ],
+        "head": [
+            [-1, 1, "nn.Upsample", [None, 2, "nearest"]],
+            [[-1, 2], 1, "Concat", [1]],
+            [-1, 1, "C3", [32]],
+            [[5, 8], 1, "Detect", ["nc"]],
+        ],
+    }
+    model, _ = build_detection_model(d)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x)
+    y, aux = model.apply(v, x)
+    assert y.shape[0] == 1 and y.shape[-1] == 4 + 4  # xyxy/xywh + nc? -> 4 box + nc

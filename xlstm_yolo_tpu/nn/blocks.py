@@ -444,3 +444,72 @@ class SPPF(nn.Module):
         return ConvBNAct(self.c2, 1, 1, training=self.training, name="cv2")(
             jnp.concatenate([y, y1, y2, y3], axis=-1)
         )
+
+
+class C3(nn.Module):
+    """CSP bottleneck with 3 convs (parity: block.py C3)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    training: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        c_ = int(self.c2 * self.e)
+        a = ConvBNAct(c_, 1, 1, training=self.training, name="cv1")(x)
+        for i in range(self.n):
+            a = Bottleneck(c_, self.shortcut, self.g, k=(1, 3), e=1.0,
+                           training=self.training, name=f"m_{i}")(a)
+        b = ConvBNAct(c_, 1, 1, training=self.training, name="cv2")(x)
+        return ConvBNAct(self.c2, 1, 1, training=self.training, name="cv3")(
+            jnp.concatenate([a, b], axis=-1)
+        )
+
+
+class C3k(C3):
+    """C3 with configurable bottleneck kernel (parity: block.py C3k)."""
+
+    k: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        c_ = int(self.c2 * self.e)
+        a = ConvBNAct(c_, 1, 1, training=self.training, name="cv1")(x)
+        for i in range(self.n):
+            a = Bottleneck(c_, self.shortcut, self.g, k=(self.k, self.k), e=1.0,
+                           training=self.training, name=f"m_{i}")(a)
+        b = ConvBNAct(c_, 1, 1, training=self.training, name="cv2")(x)
+        return ConvBNAct(self.c2, 1, 1, training=self.training, name="cv3")(
+            jnp.concatenate([a, b], axis=-1)
+        )
+
+
+class C3k2(nn.Module):
+    """Faster CSP with optional C3k inner blocks (parity: block.py C3k2)."""
+
+    c2: int
+    n: int = 1
+    c3k: bool = False
+    e: float = 0.5
+    g: int = 1
+    shortcut: bool = True
+    training: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        c = int(self.c2 * self.e)
+        y = ConvBNAct(2 * c, 1, 1, training=self.training, name="cv1")(x)
+        parts = list(jnp.split(y, 2, axis=-1))
+        for i in range(self.n):
+            if self.c3k:
+                parts.append(C3k(c2=c, n=2, shortcut=self.shortcut, g=self.g,
+                                 training=self.training, name=f"m_{i}")(parts[-1]))
+            else:
+                parts.append(Bottleneck(c, self.shortcut, self.g, k=(3, 3), e=0.5,
+                                        training=self.training, name=f"m_{i}")(parts[-1]))
+        return ConvBNAct(self.c2, 1, 1, training=self.training, name="cv2")(
+            jnp.concatenate(parts, axis=-1)
+        )

@@ -59,8 +59,8 @@ def yaml_model_load(path_or_dict) -> dict:
 # modules whose first YAML arg is the output-channel count and which take
 # (c1-prepended) standard args — parity with the base_modules set
 # (nn/tasks.py:1099-1143) restricted to what we implement.
-_BASE = {"Conv", "DWConv", "C2f", "SPPF", "Bottleneck", "SimpleStem"}
-_REPEAT = {"C2f"}
+_BASE = {"Conv", "DWConv", "C2f", "C3", "C3k2", "SPPF", "Bottleneck", "SimpleStem"}
+_REPEAT = {"C2f", "C3", "C3k2"}
 
 
 def parse_model_specs(d: dict, ch: int = 3, scale: str | None = None):
@@ -200,6 +200,16 @@ def build_module(spec: dict, nc: int, training: bool, chunkwise_kernel: str,
         shortcut = bool(args[1]) if len(args) > 1 else False
         return B.C2f(c2=c2, n=kw.get("n", 1), shortcut=shortcut,
                      training=training, name=mname)
+    if name == "C3":
+        c2 = args[0]
+        shortcut = bool(args[1]) if len(args) > 1 else True
+        return B.C3(c2=c2, n=kw.get("n", 1), shortcut=shortcut,
+                    training=training, name=mname)
+    if name == "C3k2":
+        c2 = args[0]
+        c3k = bool(args[1]) if len(args) > 1 else False
+        return B.C3k2(c2=c2, n=kw.get("n", 1), c3k=c3k,
+                      training=training, name=mname)
     if name == "SPPF":
         c2 = args[0]
         k = args[1] if len(args) > 1 else 5
