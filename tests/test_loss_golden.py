@@ -94,3 +94,38 @@ def test_v8_loss_matches_reference():
     ours = np.array([float(items_j.box), float(items_j.cls), float(items_j.dfl)])
     np.testing.assert_allclose(ours, items_t, rtol=2e-3, atol=2e-4)
     np.testing.assert_allclose(float(total_j), float(total_t), rtol=2e-3)
+
+
+def test_ademamix_matches_reference():
+    """Our optax AdEMAMix reproduces the torch reference update-for-update."""
+    import jax
+    import jax.numpy as jnp
+
+    from ultralytics.engine.ademamix import AdEMAMix as TorchAdEMAMix
+
+    from xlstm_yolo_tpu.engine.optimizers import ademamix
+
+    rng = np.random.default_rng(0)
+    w0 = rng.normal(size=(5, 3)).astype(np.float32)
+    grads = [rng.normal(size=(5, 3)).astype(np.float32) for _ in range(12)]
+
+    # torch side
+    wt = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt = TorchAdEMAMix([wt], lr=1e-2, betas=(0.9, 0.999, 0.9999), alpha=8.0,
+                        beta3_warmup=10, alpha_warmup=10, weight_decay=0.01)
+    for g in grads:
+        wt.grad = torch.from_numpy(g.copy())
+        opt.step()
+
+    # jax side
+    tx = ademamix(1e-2, b1=0.9, b2=0.999, b3=0.9999, alpha=8.0,
+                  beta3_warmup=10, alpha_warmup=10, weight_decay=0.01)
+    params = {"w": jnp.asarray(w0)}
+    state = tx.init(params)
+    for g in grads:
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+
+    np.testing.assert_allclose(
+        np.asarray(params["w"]), wt.detach().numpy(), atol=1e-5, rtol=1e-4
+    )

@@ -55,7 +55,7 @@ register_kernel("parallel", "native_siging", mlstm_parallel.mlstm_siging_paralle
 register_kernel("parallel", "native_stablef", mlstm_parallel.mlstm_parallel_stabilized)
 register_kernel("sequence", "native", mlstm_recurrent.mlstm_siging_recurrent_sequence)
 register_kernel("sequence", "native_stablef", mlstm_recurrent.mlstm_recurrent_sequence_stabilized)
-register_kernel("step", "native", mlstm_siging_step := mlstm_recurrent.mlstm_siging_step)
+register_kernel("step", "native", mlstm_recurrent.mlstm_siging_step)
 register_kernel("step", "native_stablef", mlstm_recurrent.mlstm_step_stabilized)
 
 
