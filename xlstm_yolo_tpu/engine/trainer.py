@@ -143,12 +143,12 @@ class DetectionTrainer:
         # over them as microbatches inside one optimizer step (the nbs
         # semantics of trainer.py:304,372)
         train_step = make_train_step(model_t, tx, nc=nc, accumulate=accumulate)
-        # buffer donation halves peak HBM on TPU; the XLA *CPU* runtime
-        # deadlocks its collective rendezvous when donated multi-device
-        # buffers are in play (observed on the 8-virtual-device harness),
-        # so donate only off-CPU.
-        donate = (0,) if jax.devices()[0].platform != "cpu" else ()
-        step_jit = jax.jit(train_step, donate_argnums=donate)
+        # buffer donation would halve peak HBM, but both available
+        # runtimes currently reject it: the XLA CPU backend deadlocks its
+        # collective rendezvous with donated multi-device buffers, and
+        # the remote TPU runtime raises INVALID_ARGUMENT on the donated
+        # step (docs/KNOWN_ISSUES.md) — so no donation for now.
+        step_jit = jax.jit(train_step)
 
         validator = DetectionValidator(args, data=data, save_dir=self.save_dir)
         stopper = EarlyStopping(int(args.patience))
