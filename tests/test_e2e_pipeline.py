@@ -197,3 +197,32 @@ def test_validator_save_json(synth_dataset, tmp_path):
     if j:
         assert {"image_id", "category_id", "bbox", "score"} <= set(j[0])
     assert v.confusion_matrix.matrix.shape == (3, 3)
+
+
+def test_augmented_loader_mosaic_mixup(synth_dataset):
+    """Config-5 semantics: mosaic/mixup/HSV/affine pipeline yields valid
+    fixed-shape batches with in-bounds labels."""
+    from xlstm_yolo_tpu.cfg import get_cfg
+    from xlstm_yolo_tpu.data.build import build_dataloader, build_yolo_dataset
+    from xlstm_yolo_tpu.data.dataset import check_det_dataset
+
+    cfg = get_cfg(overrides={
+        "imgsz": 160, "max_targets": 32, "workers": 2,
+        "mosaic": 1.0, "mixup": 0.5, "degrees": 10.0, "scale": 0.5,
+        "hsv_h": 0.015, "hsv_s": 0.7, "hsv_v": 0.4, "fliplr": 0.5,
+    })
+    data = check_det_dataset(str(synth_dataset))
+    ds = build_yolo_dataset(cfg, data["train"], 4, data, mode="train")
+    assert ds.transforms is not None and ds.transforms.mosaic == 1.0
+    loader = build_dataloader(ds, 4, workers=2, shuffle=True, seed=3)
+    for batch in loader:
+        assert batch["img"].shape == (4, 160, 160, 3)
+        assert batch["img"].dtype == np.uint8
+        b = batch["bboxes"][batch["mask"]]
+        if len(b):
+            assert b.min() >= -1e-3 and b.max() <= 160 + 1e-3
+            assert (b[:, 2] >= b[:, 0]).all() and (b[:, 3] >= b[:, 1]).all()
+    # close_mosaic switch
+    ds.transforms.mosaic_enabled = False
+    s = ds.get_sample(0, __import__("random").Random(0))
+    assert s["img"].shape == (160, 160, 3)
