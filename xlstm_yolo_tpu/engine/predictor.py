@@ -35,6 +35,12 @@ class BasePredictor:
         self.imgsz = int(getattr(cfg, "imgsz", 640) or 640)
         self.letterbox = LetterBox((self.imgsz, self.imgsz), auto=False, scaleup=True)
         self._predict_jit = jax.jit(self._forward)
+        try:
+            from xlstm_yolo_tpu.native import get_letterbox_native, letterbox_native
+
+            self._native_letterbox = letterbox_native if get_letterbox_native() else None
+        except Exception:
+            self._native_letterbox = None
         self.seen = 0
         self.speed = {"preprocess": 0.0, "inference": 0.0, "postprocess": 0.0}
 
@@ -47,13 +53,7 @@ class BasePredictor:
     # -- host stages ---------------------------------------------------------
     def preprocess(self, im_list: list[np.ndarray]):
         out, ratios_pads = [], []
-        native = None
-        try:
-            from xlstm_yolo_tpu.native import get_letterbox_native, letterbox_native
-
-            native = letterbox_native if get_letterbox_native() else None
-        except Exception:
-            native = None
+        native = self._native_letterbox
         for im in im_list:
             if native is not None:
                 # fused C++ resize+pad+BGR->RGB single pass

@@ -10,6 +10,7 @@ discovery needs no dummy forward because shapes are known at trace time.
 
 from __future__ import annotations
 
+import ast
 import math
 from pathlib import Path
 from typing import Any, Sequence
@@ -84,8 +85,6 @@ def parse_model_specs(d: dict, ch: int = 3, scale: str | None = None):
         args = list(args)
         # resolve string args ('nc', 'None', numeric literals) like the
         # reference's locals()/literal_eval pass (nn/tasks.py:1174-1178)
-        import ast
-
         for j, a in enumerate(args):
             if isinstance(a, str):
                 if a == "nc":
