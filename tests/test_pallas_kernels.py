@@ -111,3 +111,19 @@ def test_pallas_exp_gate_fw_matches_jnp(rng):
         q, k, v, i, f, chunk_size=16, compute_dtype=jnp.float32
     )
     np.testing.assert_allclose(np.asarray(h_pl), np.asarray(h_ref), atol=3e-5, rtol=1e-4)
+
+
+def test_pallas_v2_head_grouped_matches_jnp(rng):
+    from xlstm_yolo_tpu.ops.pallas.chunkwise_v2 import mlstm_siging_chunkwise_pallas_v2
+
+    args = make_args(rng, B=2, NH=4, S=64, DHQK=16, DHHV=16)
+    h_ref = mlstm_siging_chunkwise(*args, chunk_size=16)
+    h_v2 = mlstm_siging_chunkwise_pallas_v2(
+        *args, chunk_size=16, compute_dtype=jnp.float32
+    )
+    np.testing.assert_allclose(np.asarray(h_v2), np.asarray(h_ref), atol=3e-5, rtol=1e-4)
+    # head grouping smaller than NH also works (G=2 over B*NH=8)
+    h_g2 = mlstm_siging_chunkwise_pallas_v2(
+        *args, chunk_size=16, head_group=2, compute_dtype=jnp.float32
+    )
+    np.testing.assert_allclose(np.asarray(h_g2), np.asarray(h_ref), atol=3e-5, rtol=1e-4)
