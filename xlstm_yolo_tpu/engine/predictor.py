@@ -9,9 +9,7 @@ and the last incomplete batch is padded to the compiled batch size.
 
 from __future__ import annotations
 
-import platform
 import time
-from pathlib import Path
 from typing import Any, Iterator
 
 import jax

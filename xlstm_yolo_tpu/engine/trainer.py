@@ -10,7 +10,6 @@ opt_state, EMA, step, epoch, fitness, rng).
 from __future__ import annotations
 
 import csv
-import json
 import math
 import time
 from pathlib import Path
