@@ -155,3 +155,29 @@ def test_generic_yolo_yaml_with_conv_zoo(tmp_path):
     v = model.init(jax.random.PRNGKey(0), x)
     y, aux = model.apply(v, x)
     assert y.shape[0] == 1 and y.shape[-1] == 4 + 4  # xyxy/xywh + nc? -> 4 box + nc
+
+
+def test_conv_bn_fusion_matches_eval():
+    """fuse_variables-folded conv (fused=True module) == conv+BN eval."""
+    from xlstm_yolo_tpu.nn.blocks import ConvBNAct
+    from xlstm_yolo_tpu.utils.fuse import fuse_variables
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 8)), jnp.float32)
+
+    m = ConvBNAct(c2=12, k=3, training=False)
+    v = m.init(jax.random.PRNGKey(0), x)
+    # give BN non-trivial stats/affines so the fold actually does work
+    v = jax.tree.map(np.asarray, v)
+    v["batch_stats"]["bn"]["mean"] = rng.normal(size=12).astype(np.float32) * 0.3
+    v["batch_stats"]["bn"]["var"] = (rng.uniform(0.5, 2.0, 12)).astype(np.float32)
+    v["params"]["bn"]["scale"] = rng.uniform(0.5, 1.5, 12).astype(np.float32)
+    v["params"]["bn"]["bias"] = rng.normal(size=12).astype(np.float32) * 0.2
+
+    y_ref = m.apply(jax.tree.map(jnp.asarray, v), x)
+
+    fused_vars = fuse_variables(v)
+    assert "bn" not in fused_vars["params"]
+    mf = ConvBNAct(c2=12, k=3, fused=True)
+    y_fused = mf.apply(jax.tree.map(jnp.asarray, fused_vars), x)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref), atol=2e-5, rtol=1e-4)

@@ -50,9 +50,11 @@ class ConvBNAct(nn.Module):
     act: str | None = "silu"  # silu | gelu | relu | None
     training: bool = False
     dtype: Any = None
+    fused: bool = False  # conv carries folded-BN bias; BN op skipped (eval only)
 
     @nn.compact
     def __call__(self, x):
+        assert not (self.fused and self.training), "fused conv is eval-only"
         pad = autopad(self.k, self.p, self.d)
         y = nn.Conv(
             self.c2,
@@ -61,17 +63,18 @@ class ConvBNAct(nn.Module):
             padding=[(pad, pad), (pad, pad)],
             feature_group_count=self.g,
             kernel_dilation=(self.d, self.d),
-            use_bias=False,
+            use_bias=self.fused,
             dtype=self.dtype,
             name="conv",
         )(x)
-        y = nn.BatchNorm(
-            use_running_average=not self.training,
-            momentum=0.97,
-            epsilon=1e-3,
-            dtype=self.dtype,
-            name="bn",
-        )(y)
+        if not self.fused:
+            y = nn.BatchNorm(
+                use_running_average=not self.training,
+                momentum=0.97,
+                epsilon=1e-3,
+                dtype=self.dtype,
+                name="bn",
+            )(y)
         return _act(y, self.act)
 
 
