@@ -85,3 +85,17 @@ def test_train_eval_param_structure_identical():
     s_eval = jax.eval_shape(m_eval.init, rng, x)
     s_train = jax.eval_shape(m_train.init, rng, x)
     assert jax.tree.structure(s_eval["params"]) == jax.tree.structure(s_train["params"])
+
+
+@pytest.mark.parametrize("name", ["640-base192.yaml", "640-base256.yaml", "640-base384.yaml"])
+def test_all_reference_configs_compile(name):
+    """All three shipped reference configs parse and shape-check."""
+    p = Path("/root/reference") / name
+    if not p.exists():
+        pytest.skip("reference tree not mounted")
+    model, d = build_detection_model(p)
+    x = jnp.zeros((1, 640, 640, 3), jnp.float32)
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x)
+    y, aux = jax.eval_shape(lambda v, x: model.apply(v, x), shapes, x)
+    assert y.shape == (1, 300, 6)
+    assert len(aux["one2one"]) == 4
