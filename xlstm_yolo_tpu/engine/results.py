@@ -117,6 +117,24 @@ class Results:
         cv2.imwrite(str(filename), self.plot())
         return filename
 
+    def save_txt(self, txt_file: str | Path, save_conf: bool = False):
+        """YOLO-format label lines: 'cls cx cy w h [conf]' normalized."""
+        lines = []
+        if self.boxes is not None:
+            h, w = self.orig_img.shape[:2]
+            for row in self.boxes.data:
+                xywh = np.array([
+                    (row[0] + row[2]) / 2 / w, (row[1] + row[3]) / 2 / h,
+                    (row[2] - row[0]) / w, (row[3] - row[1]) / h,
+                ])
+                vals = [int(row[-1]), *xywh]
+                if save_conf:
+                    vals.append(float(row[-2]))
+                lines.append(" ".join(f"{v:.6g}" if not isinstance(v, int) else str(v) for v in vals))
+        Path(txt_file).parent.mkdir(parents=True, exist_ok=True)
+        Path(txt_file).write_text("\n".join(lines))
+        return txt_file
+
     def to_json(self, normalize: bool = False) -> str:
         return json.dumps(self.summary(normalize=normalize), indent=2)
 
