@@ -73,6 +73,7 @@ class DetectionValidator:
         loader = build_dataloader(
             dataset, bs, workers=int(self.args.workers or 8), shuffle=False,
             drop_last=False,
+            rank=jax.process_index(), world_size=jax.process_count(),
         )
 
         @jax.jit
