@@ -181,3 +181,27 @@ def test_conv_bn_fusion_matches_eval():
     mf = ConvBNAct(c2=12, k=3, fused=True)
     y_fused = mf.apply(jax.tree.map(jnp.asarray, fused_vars), x)
     np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref), atol=2e-5, rtol=1e-4)
+
+
+def test_lsblock_fusion_with_biased_conv():
+    """norm->fc1 folding must account for fc1's existing bias
+    (b' = beta + (b0 - mean) * scale, ref:torch_utils.py:242)."""
+    from xlstm_yolo_tpu.nn.blocks import LSBlock
+    from xlstm_yolo_tpu.utils.fuse import fuse_variables
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 16)), jnp.float32)
+
+    m = LSBlock(dim=16, training=False)
+    v = jax.tree.map(np.asarray, m.init(jax.random.PRNGKey(0), x))
+    v["params"]["fc1"]["bias"] = rng.normal(size=16).astype(np.float32)
+    v["batch_stats"]["norm"]["mean"] = rng.normal(size=16).astype(np.float32) * 0.3
+    v["batch_stats"]["norm"]["var"] = rng.uniform(0.5, 2.0, 16).astype(np.float32)
+    v["params"]["norm"]["scale"] = rng.uniform(0.5, 1.5, 16).astype(np.float32)
+    v["params"]["norm"]["bias"] = rng.normal(size=16).astype(np.float32) * 0.2
+
+    y_ref = m.apply(jax.tree.map(jnp.asarray, v), x)
+    fused_vars = fuse_variables(v)
+    assert "norm" not in fused_vars["params"]
+    y_fused = LSBlock(dim=16, fused=True).apply(jax.tree.map(jnp.asarray, fused_vars), x)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref), atol=2e-5, rtol=1e-4)

@@ -87,17 +87,22 @@ def make_train_step(
 
     def train_step(state: TrainState, batch, rng):
         if accumulate > 1:
-            def micro(carry, mb):
+            def micro(carry, xs):
+                mb, mb_idx = xs
                 g_acc, bs, l_acc = carry
+                # independent stochastic-depth masks per microbatch
                 loss, items, new_bs, grads = single(
-                    state.replace(batch_stats=bs), mb, rng
+                    state.replace(batch_stats=bs), mb, jax.random.fold_in(rng, mb_idx)
                 )
                 g_acc = jax.tree.map(jnp.add, g_acc, grads)
                 return (g_acc, new_bs, l_acc + loss), items
 
             g0 = jax.tree.map(jnp.zeros_like, state.params)
+            n_micro = jax.tree.leaves(batch)[0].shape[0]
             (grads, new_bs, loss), items = jax.lax.scan(
-                micro, (g0, state.batch_stats, jnp.zeros([], f32)), batch
+                micro,
+                (g0, state.batch_stats, jnp.zeros([], f32)),
+                (batch, jnp.arange(n_micro)),
             )
             items = jax.tree.map(lambda x: x[-1], items)
         else:

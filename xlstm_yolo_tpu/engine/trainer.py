@@ -55,9 +55,12 @@ class DetectionTrainer:
         self.args = cfg if isinstance(cfg, SimpleNamespace) else get_cfg(cfg, overrides)
         self.model_cfg = model_cfg or self.args.model
         self.callbacks = Callbacks()
-        if getattr(self.args, "plots", True):
-            add_tensorboard(self.callbacks, str(self._get_save_dir() / "tb"))
+        # resolve save_dir ONCE: a second _get_save_dir() call would see the
+        # dir the first caller created and auto-increment past it, splitting
+        # tb events and weights across runs
         self.save_dir = self._get_save_dir()
+        if getattr(self.args, "plots", True):
+            add_tensorboard(self.callbacks, str(self.save_dir / "tb"))
         self.wdir = self.save_dir / "weights"
         self.csv_path = self.save_dir / "results.csv"
         self.best_fitness = 0.0
@@ -265,11 +268,18 @@ class DetectionTrainer:
         return {"params": state.params, "batch_stats": state.batch_stats}
 
     def _log_csv(self, epoch: int, mloss: dict, metrics: dict):
+        """Append an epoch row; the header is pinned by the first row so
+        columns stay aligned when metrics appear/disappear mid-run
+        (e.g. val skipped on an epoch)."""
         self.save_dir.mkdir(parents=True, exist_ok=True)
         row = {"epoch": epoch, **mloss, **(metrics or {})}
-        new = not self.csv_path.exists()
+        if self.csv_path.exists():
+            with open(self.csv_path, newline="") as fh:
+                fields = next(csv.reader(fh), None) or list(row.keys())
+        else:
+            fields = list(row.keys())
+            with open(self.csv_path, "w", newline="") as fh:
+                csv.DictWriter(fh, fieldnames=fields).writeheader()
         with open(self.csv_path, "a", newline="") as fh:
-            w = csv.DictWriter(fh, fieldnames=list(row.keys()))
-            if new:
-                w.writeheader()
-            w.writerow(row)
+            w = csv.DictWriter(fh, fieldnames=fields, extrasaction="ignore")
+            w.writerow({k: row.get(k, "") for k in fields})

@@ -25,6 +25,28 @@ from xlstm_yolo_tpu.utils.metrics import ConfusionMatrix, DetMetrics, box_iou_ma
 IOUV = np.linspace(0.5, 0.95, 10)
 
 
+def allgather_ragged(arr: np.ndarray) -> np.ndarray:
+    """Concatenate a per-process ragged (N_p, ...) array across processes.
+
+    Multi-host parity for the stats lists: the reference validates on
+    rank 0 only (ref:engine/trainer.py:440); here every process scores
+    its shard and the stats are all-gathered so DetMetrics — and hence
+    fitness, is_best and early-stop — are identical on every host.
+    Lengths differ per process, so gather lengths first, pad to max,
+    gather, then slice. No-op in single-process runs.
+    """
+    if jax.process_count() == 1:
+        return arr
+    from jax.experimental import multihost_utils as mhu
+
+    n = np.asarray([arr.shape[0]], np.int32)
+    lengths = np.asarray(mhu.process_allgather(n)).reshape(-1)
+    n_max = int(lengths.max())
+    pad = np.zeros((n_max - arr.shape[0], *arr.shape[1:]), arr.dtype)
+    gathered = np.asarray(mhu.process_allgather(np.concatenate([arr, pad])))
+    return np.concatenate([gathered[p, : lengths[p]] for p in range(len(lengths))])
+
+
 def match_predictions(pred_cls: np.ndarray, true_cls: np.ndarray, iou: np.ndarray) -> np.ndarray:
     """TP table (npr, 10): greedy highest-IoU matching per threshold.
 
@@ -139,13 +161,18 @@ class DetectionValidator:
                     self._save_one_json(det, batch["im_file"][i])
             t_post += time.perf_counter() - t1
 
-        if stats["tp"]:
-            tp = np.concatenate(stats["tp"]) if stats["tp"] else np.zeros((0, 10), bool)
-            conf = np.concatenate(stats["conf"])
-            pred_cls = np.concatenate(stats["pred_cls"])
-            target_cls = np.concatenate(stats["target_cls"])
-            if tp.size and target_cls.size:
-                self.metrics.process(tp, conf, pred_cls, target_cls)
+        tp = np.concatenate(stats["tp"]) if stats["tp"] else np.zeros((0, 10), bool)
+        conf = np.concatenate(stats["conf"]) if stats["conf"] else np.zeros((0,))
+        pred_cls = np.concatenate(stats["pred_cls"]) if stats["pred_cls"] else np.zeros((0,))
+        target_cls = np.concatenate(stats["target_cls"]) if stats["target_cls"] else np.zeros((0,))
+        if jax.process_count() > 1:  # every process must call the collectives
+            tp = allgather_ragged(tp)
+            conf = allgather_ragged(conf)
+            pred_cls = allgather_ragged(pred_cls)
+            target_cls = allgather_ragged(target_cls)
+            seen = int(allgather_ragged(np.asarray([seen])).sum())
+        if tp.size and target_cls.size:
+            self.metrics.process(tp, conf, pred_cls, target_cls)
         self.confusion_matrix = confusion
         self.seen = seen
         self.speed = {

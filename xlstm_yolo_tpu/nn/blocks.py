@@ -93,18 +93,20 @@ class DWConvBlock(ConvBNAct):
 
     @nn.compact
     def __call__(self, x):
+        assert not (self.fused and self.training), "fused conv is eval-only"
         g = math.gcd(x.shape[-1], self.c2)
         pad = autopad(self.k, self.p, self.d)
         y = nn.Conv(
             self.c2, (self.k, self.k), strides=(self.s, self.s),
             padding=[(pad, pad), (pad, pad)], feature_group_count=g,
-            kernel_dilation=(self.d, self.d), use_bias=False, dtype=self.dtype,
+            kernel_dilation=(self.d, self.d), use_bias=self.fused, dtype=self.dtype,
             name="conv",
         )(x)
-        y = nn.BatchNorm(
-            use_running_average=not self.training, momentum=0.97, epsilon=1e-3,
-            dtype=self.dtype, name="bn",
-        )(y)
+        if not self.fused:
+            y = nn.BatchNorm(
+                use_running_average=not self.training, momentum=0.97, epsilon=1e-3,
+                dtype=self.dtype, name="bn",
+            )(y)
         return _act(y, self.act)
 
 
@@ -242,17 +244,20 @@ class LSBlock(nn.Module):
     dim: int
     training: bool = False
     dtype: Any = None
+    fused: bool = False  # fc1 carries the folded-BN bias; norm skipped
 
     @nn.compact
     def __call__(self, x):
+        assert not (self.fused and self.training), "fused conv is eval-only"
         y = nn.Conv(
             self.dim, (3, 3), padding="SAME", feature_group_count=self.dim,
             dtype=self.dtype, name="fc1",
         )(x)
-        y = nn.BatchNorm(
-            use_running_average=not self.training, momentum=0.97, epsilon=1e-3,
-            dtype=self.dtype, name="norm",
-        )(y)
+        if not self.fused:
+            y = nn.BatchNorm(
+                use_running_average=not self.training, momentum=0.97, epsilon=1e-3,
+                dtype=self.dtype, name="norm",
+            )(y)
         y = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="fc2")(y)
         y = nn.gelu(y)
         y = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="fc3")(y)

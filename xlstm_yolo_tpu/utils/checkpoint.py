@@ -21,6 +21,11 @@ def _ckptr():
 
 
 def save_checkpoint(path: Path, state, epoch: int, best_fitness: float, args: dict):
+    if jax.process_index() != 0:
+        # params/EMA are replicated and (with validator stats all-gathered)
+        # best_fitness is identical on every host; one writer suffices and
+        # concurrent rmtree+save on a shared FS would corrupt the snapshot.
+        return
     path = Path(path).resolve()
     if path.exists():
         import shutil

@@ -25,10 +25,16 @@ BN_EPS = 1e-3  # matches ConvBNAct/BatchNorm epsilon
 _BN_TO_CONV = {"bn": "conv", "norm": "fc1", "in_proj_bn": "in_proj_conv"}
 
 
-def _fold(kernel, gamma, beta, mean, var, eps=BN_EPS):
+def _fold(kernel, gamma, beta, mean, var, bias0=None, eps=BN_EPS):
+    """BN(conv(x) + b0) == conv'(x) + b' with b' = beta + (b0 - mean)*scale.
+
+    Parity: ref:ultralytics/utils/torch_utils.py:242 fuse_conv_and_bn
+    (which likewise starts from the conv's existing bias, zeros if none).
+    """
     scale = gamma / np.sqrt(var + eps)
     k = np.asarray(kernel) * scale.reshape((1,) * (np.ndim(kernel) - 1) + (-1,))
-    b = beta - mean * scale
+    b0 = np.zeros_like(mean) if bias0 is None else np.asarray(bias0)
+    b = beta + (b0 - mean) * scale
     return k.astype(np.asarray(kernel).dtype), b.astype(np.asarray(kernel).dtype)
 
 
@@ -68,7 +74,10 @@ def fuse_variables(variables: dict) -> dict:
             if name in folds:
                 bn = p_node[folds[name]]
                 st = s_node[folds[name]]
-                k, b = _fold(child["kernel"], bn["scale"], bn["bias"], st["mean"], st["var"])
+                k, b = _fold(
+                    child["kernel"], bn["scale"], bn["bias"],
+                    st["mean"], st["var"], bias0=child.get("bias"),
+                )
                 out[name] = {**child, "kernel": k, "bias": b}
             else:
                 out[name] = walk(child, s_node.get(name))

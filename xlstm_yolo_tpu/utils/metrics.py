@@ -91,6 +91,15 @@ def compute_ap(recall: np.ndarray, precision: np.ndarray) -> tuple[float, np.nda
     return ap, mpre, mrec
 
 
+def smooth(y: np.ndarray, f: float = 0.05) -> np.ndarray:
+    """Box-filter smoothing (parity: ref:utils/metrics.py smooth): pads the
+    ends and convolves with a flat kernel spanning fraction ``f``."""
+    nf = round(len(y) * f * 2) // 2 + 1  # odd element count
+    p = np.ones(nf // 2)
+    yp = np.concatenate([p * y[0], y, p * y[-1]])
+    return np.convolve(yp, np.ones(nf) / nf, mode="valid")
+
+
 def ap_per_class(
     tp: np.ndarray,  # (N, 10) bool TP at each IoU threshold
     conf: np.ndarray,  # (N,)
@@ -130,7 +139,7 @@ def ap_per_class(
             ap[ci, j], _, _ = compute_ap(recall[:, j], precision[:, j])
 
     f1_curve = 2 * p_curve * r_curve / (p_curve + r_curve + eps)
-    i = f1_curve.mean(0).argmax()
+    i = smooth(f1_curve.mean(0), 0.1).argmax()
     p, r, f1 = p_curve[:, i], r_curve[:, i], f1_curve[:, i]
     tp_count = (r * nt).round()
     fp_count = (tp_count / (p + eps) - tp_count).round()
@@ -152,8 +161,10 @@ class DetMetrics:
     def process(self, tp, conf, pred_cls, target_cls):
         res = ap_per_class(tp, conf, pred_cls, target_cls)
         _, _, self.p, self.r, self.f1, self.all_ap, self.ap_class_index = res
-        cls, cnt = np.unique(target_cls, return_counts=True)
-        self.nt_per_class = cnt
+        # nc-length bincount so counts align with class ids, not just the
+        # classes present (parity: ref DetMetrics nt_per_class)
+        nc = len(self.names) or (int(target_cls.max()) + 1 if len(target_cls) else 0)
+        self.nt_per_class = np.bincount(np.asarray(target_cls, int), minlength=nc)
 
     @property
     def ap50(self):
