@@ -127,3 +127,65 @@ def test_pallas_v2_head_grouped_matches_jnp(rng):
         *args, chunk_size=16, head_group=2, compute_dtype=jnp.float32
     )
     np.testing.assert_allclose(np.asarray(h_g2), np.asarray(h_ref), atol=3e-5, rtol=1e-4)
+
+
+def test_pallas_v2_ragged_and_bsh(rng):
+    """v2 handles non-multiple S in-kernel (masked last chunk) and its
+    (B, S, H) entry matches the (B, NH, S, DH) registry convention."""
+    from xlstm_yolo_tpu.ops.pallas.chunkwise_v2 import (
+        mlstm_siging_chunkwise_pallas_v2 as v2,
+        mlstm_siging_chunkwise_pallas_v2_bsh as v2_bsh,
+    )
+
+    B, NH, S, DH, L = 2, 4, 50, 16, 16  # S % L != 0
+    q, k, v, i, f = make_args(rng, B=B, NH=NH, S=S, DHQK=DH, DHHV=DH)
+    h_ref = mlstm_siging_chunkwise(q, k, v, i, f, chunk_size=10)
+    h_v2 = v2(q, k, v, i, f, chunk_size=L, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(h_v2), np.asarray(h_ref), atol=3e-5, rtol=1e-4)
+
+    to_bsh = lambda x: jnp.swapaxes(x, 1, 2).reshape(B, S, -1)
+    h_bsh = v2_bsh(
+        to_bsh(q), to_bsh(k), to_bsh(v),
+        jnp.swapaxes(i, 1, 2), jnp.swapaxes(f, 1, 2),
+        num_heads=NH, chunk_size=L, compute_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(h_bsh.reshape(B, S, NH, DH), 1, 2)),
+        np.asarray(h_ref), atol=3e-5, rtol=1e-4,
+    )
+
+    # grads through the ragged path vs jnp AD (stop-grad denominator)
+    def loss_v2(*a):
+        return (v2(*a, chunk_size=L, compute_dtype=jnp.float32) ** 2).sum()
+
+    def loss_ref(*a):
+        return (mlstm_siging_chunkwise(*a, chunk_size=10, stopgrad_norm=True) ** 2).sum()
+
+    g_v2 = jax.grad(loss_v2, argnums=(0, 1, 2, 3, 4))(q, k, v, i, f)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, i, f)
+    for a, b, name in zip(g_ref, g_v2, "qkvif"):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-3, rtol=5e-3, err_msg=f"grad {name}"
+        )
+
+
+def test_model_v2_kernel_matches_native(rng):
+    """Tiny model, same params: v2 Pallas path == native scan (pre-topk)."""
+    from pathlib import Path
+    from xlstm_yolo_tpu.nn.tasks import build_detection_model
+
+    cfg = Path(__file__).resolve().parents[1] / "xlstm_yolo_tpu" / "cfg" / "models" / "vil-det-tiny.yaml"
+    m1, _ = build_detection_model(cfg, decode_only=True)
+    m2, _ = build_detection_model(
+        cfg, chunkwise_kernel="chunkwise--pallas_xl_chunk_siging_v2", decode_only=True
+    )
+    x = jnp.asarray(rng.normal(0.45, 0.2, (2, 160, 160, 3)), jnp.float32)
+    variables = jax.jit(m1.init)(jax.random.PRNGKey(0), x)
+    y1, _ = m1.apply(variables, x)
+    y2, _ = m2.apply(variables, x)
+    np.testing.assert_allclose(
+        np.asarray(y2[..., :4]), np.asarray(y1[..., :4]), atol=0.05, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(y2[..., 4:]), np.asarray(y1[..., 4:]), atol=1e-4, rtol=1e-3
+    )

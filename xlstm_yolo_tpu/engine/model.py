@@ -74,10 +74,14 @@ class YOLO:
         else:
             raise FileNotFoundError(f"cannot resolve model '{model}'")
 
-    def _get_bundle(self, imgsz: int = 640, compute_dtype=jnp.bfloat16):
+    def _get_bundle(self, imgsz: int = 640, compute_dtype=jnp.bfloat16,
+                    chunkwise_kernel: str = "auto"):
         if self._bundle is not None:
             return self._bundle
-        model, d = build_detection_model(self.model_cfg, compute_dtype=compute_dtype)
+        model, d = build_detection_model(
+            self.model_cfg, compute_dtype=compute_dtype,
+            chunkwise_kernel=chunkwise_kernel,
+        )
         rng = jax.random.PRNGKey(0)
         img = jnp.zeros((1, int(d.get("imgsz", imgsz)), int(d.get("imgsz", imgsz)), 3), jnp.float32)
         if self.ckpt_path and self.ckpt_path.endswith(".pt"):
@@ -109,7 +113,8 @@ class YOLO:
         from xlstm_yolo_tpu.engine.predictor import DetectionPredictor
 
         args = get_cfg(overrides={**self.overrides, **kwargs, "mode": "predict"})
-        bundle = self._get_bundle(imgsz=int(args.imgsz))
+        bundle = self._get_bundle(imgsz=int(args.imgsz),
+                                  chunkwise_kernel=str(getattr(args, "chunkwise_kernel", "auto") or "auto"))
         predictor = DetectionPredictor(args, bundle, self.names)
         return predictor(source, stream=stream)
 
@@ -121,7 +126,8 @@ class YOLO:
 
         args = get_cfg(overrides={**self.overrides, **kwargs, "mode": "val",
                                   **({"data": data} if data else {})})
-        bundle = self._get_bundle(imgsz=int(args.imgsz))
+        bundle = self._get_bundle(imgsz=int(args.imgsz),
+                                  chunkwise_kernel=str(getattr(args, "chunkwise_kernel", "auto") or "auto"))
         validator = DetectionValidator(args, data=args.data)
         return validator(bundle, batch_size=int(args.batch))
 

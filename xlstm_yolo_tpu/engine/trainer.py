@@ -95,11 +95,14 @@ class DetectionTrainer:
 
         # --- model (train + eval twins share params) ---
         compute_dtype = jnp.bfloat16 if args.amp else None
+        ck = str(getattr(args, "chunkwise_kernel", "auto") or "auto")
         model_t, mcfg = build_detection_model(
-            self.model_cfg, nc=nc, training=True, compute_dtype=compute_dtype
+            self.model_cfg, nc=nc, training=True, compute_dtype=compute_dtype,
+            chunkwise_kernel=ck,
         )
         model_e, _ = build_detection_model(
-            self.model_cfg, nc=nc, training=False, compute_dtype=compute_dtype
+            self.model_cfg, nc=nc, training=False, compute_dtype=compute_dtype,
+            chunkwise_kernel=ck,
         )
         rng = jax.random.PRNGKey(int(args.seed))
         init_img = jnp.zeros((1, imgsz, imgsz, 3), jnp.float32)

@@ -96,20 +96,22 @@ class MultiHeadLayerNorm(nn.Module):
     eps: float = 1e-6
     use_weight: bool = True
     use_bias: bool = True
+    data_format: str = "BNSD"  # or "BSND"; params identical either way
 
     @nn.compact
-    def __call__(self, x):  # (B, NH, S, DH)
-        B, NH, S, DH = x.shape
+    def __call__(self, x):  # (B, NH, S, DH) or (B, S, NH, DH)
+        NH, DH = self.num_heads, self.head_dim
         xf = x.astype(f32)
         mean = xf.mean(-1, keepdims=True)
         var = xf.var(-1, keepdims=True)
         y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        shape = (1, NH, 1, DH) if self.data_format == "BNSD" else (1, 1, NH, DH)
         if self.use_weight:
             w = self.param("weight", nn.initializers.zeros, (NH * DH,), f32)
-            y = y * (1.0 + w).reshape(1, NH, 1, DH)
+            y = y * (1.0 + w).reshape(shape)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (NH * DH,), f32)
-            y = y + b.reshape(1, NH, 1, DH)
+            y = y + b.reshape(shape)
         return y.astype(x.dtype)
 
 
@@ -367,13 +369,19 @@ class MatrixLSTMCell(nn.Module):
         )(gate_in.astype(f32))
         if_preact = soft_cap(if_preact, self.gate_soft_cap)
         i_pre, f_pre = jnp.split(if_preact, 2, axis=-1)  # (B, S, NH)
+        cd = self.compute_dtype or q.dtype
+
+        if self.chunkwise_kernel.endswith("pallas_xl_chunk_siging_v2"):
+            # v2 takes the (B, S, H) streams directly — no head transposes
+            # (Pallas would materialize them; XLA fuses them for the scan)
+            return self._call_v2_bsh(q, k, v, i_pre, f_pre, state, cd, B, S, H, NH, DH)
+
         i_pre = jnp.swapaxes(i_pre, -1, -2)  # (B, NH, S)
         f_pre = jnp.swapaxes(f_pre, -1, -2)
 
         def heads(x):
             return jnp.swapaxes(x.reshape(B, S, NH, DH), 1, 2)  # (B, NH, S, DH)
 
-        cd = self.compute_dtype or q.dtype
         qh, kh, vh = heads(q).astype(cd), heads(k).astype(cd), heads(v).astype(cd)
 
         is_pallas = "pallas" in self.chunkwise_kernel
@@ -401,6 +409,30 @@ class MatrixLSTMCell(nn.Module):
             num_heads=NH, head_dim=DH, use_bias=self.norm_bias, eps=1e-6, name="outnorm"
         )(h.astype(q.dtype))
         h = jnp.swapaxes(h, 1, 2).reshape(B, S, H)
+        if state is not None:
+            return h, new_state
+        return h
+
+    def _call_v2_bsh(self, q, k, v, i_pre, f_pre, state, cd, B, S, H, NH, DH):
+        """Transpose-free v2 Pallas path: (B, S, H) in and out."""
+        from xlstm_yolo_tpu.ops.pallas.chunkwise_v2 import (
+            mlstm_siging_chunkwise_pallas_v2_bsh as kern,
+        )
+
+        qb, kb, vb = q.astype(cd), k.astype(cd), v.astype(cd)
+        want_state = state is not None
+        out = kern(
+            qb, kb, vb, i_pre, f_pre, num_heads=NH,
+            chunk_size=self.chunk_size, eps=self.eps, compute_dtype=cd,
+            c_initial=state[0] if want_state else None,
+            n_initial=state[1] if want_state else None,
+            return_last_states=want_state,
+        )
+        h, new_state = out if want_state else (out, None)
+        h = MultiHeadLayerNorm(
+            num_heads=NH, head_dim=DH, use_bias=self.norm_bias, eps=1e-6,
+            data_format="BSND", name="outnorm",
+        )(h.astype(q.dtype).reshape(B, S, NH, DH)).reshape(B, S, H)
         if state is not None:
             return h, new_state
         return h

@@ -1,12 +1,31 @@
-"""Experimental v2 forward kernel: head-group batching per grid step.
+"""Pallas v2 chunkwise siging mLSTM: (B, S, H) layout, head groups, fw+bw.
 
-v1 (`chunkwise.py`) serializes grid (B*NH, NC) — 1248 tiny sequential
-steps at flagship batch 8, which is step-overhead-bound.  v2 processes a
-group of G heads per step with a static in-kernel loop: grid
-(B*NH/G, NC), G-fold fewer steps, same math.  VMEM per step stays
-modest because the (L, L) tiles are consumed head-by-head.
+TPU-native counterpart of the six reference Triton kernels
+(ref:mlstm_kernels/triton/chunkwise/xl_chunk_siging/*.py); the gate math
+derivation lives in `chunkwise.py` (v1).  v2 differs from v1 in the ways
+that matter at model scale:
 
-Forward-only for now (perf experiment; docs/NEXT_STEPS.md).
+- **(B, S, H) blocks, heads as lane slices.**  v1 (and the first v2
+  draft) wanted (B*NH, S, DH) operands, which forces XLA to materialize
+  the head-split transpose before every pallas_call (~3x41 MB per call
+  at flagship shapes — the scan path fuses those away, so Pallas lost
+  in-model while winning standalone).  Here q/k/v/h/dq/dk/dv keep the
+  model's native (B, S, H) layout — a free reshape — and each head is a
+  static H-column slice inside the kernel.  Bonus: H-wide blocks fill
+  the 128-lane VPU/MXU width that DH=32-wide blocks wasted.
+- **Head-group batching**: grid (B, NH/G, NC) with a static in-kernel
+  loop over G heads per step — 13x fewer sequential grid steps than
+  v1's (B*NH, NC) at flagship batch 8.
+- **Ragged S in-kernel**: grid NC = cdiv(S, L); the last chunk's
+  out-of-bounds rows are masked in-kernel (OOB loads are unspecified,
+  so loaded tiles are zero-masked), replacing the zero-pad wrapper's
+  HBM round-trips.
+- **Lean inference forward**: Pallas outputs are not DCE-able, so the
+  custom-VJP primal runs a separate kernel without the backward-only
+  chunk-state outputs.
+
+Per-head rows (gates, normalizers) are laid out (B, NC, NH, L); the
+tiny gate tensors are padded host-side with inert values.
 """
 
 from __future__ import annotations
@@ -19,39 +38,73 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from xlstm_yolo_tpu.ops.pallas.chunkwise import _chunk_gates, _interpret
+from xlstm_yolo_tpu.ops.pallas.chunkwise import _chunk_gates, _cumsum_row, _interpret
 
 f32 = jnp.float32
 
 
-def _fw_kernel_v2(
-    q_ref, k_ref, v_ref, i_ref, f_ref, g_ref,
-    h_ref,
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _row_mask(j, L: int, S: int):
+    """(L, 1) bool: global row j*L+l < S.  j may be traced (program id)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
+    return (j * L + rows) < S
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _fw_body(
+    q_ref, k_ref, v_ref, i_ref, f_ref, g_ref, c0_ref, n0_ref,
+    h_ref, nout_ref, cstates_ref, nstates_ref, clast_ref, nlast_ref,
     c_scr, n_scr,
-    *, G: int, L: int, DHQK: int, DHHV: int, NC: int, qk_scale: float,
-    eps: float, dtype: Any,
+    *, G: int, L: int, S: int, DHQK: int, DHHV: int, NC: int,
+    qk_scale: float, eps: float, use_initial: bool, save_states: bool,
+    dtype: Any,
 ):
-    j = pl.program_id(1)
+    j = pl.program_id(2)
+    ragged = S % L != 0
+    mask = _row_mask(j, L, S) if ragged else None  # (L, 1)
 
     @pl.when(j == 0)
     def _init():
-        c_scr[...] = jnp.zeros((G * DHQK, DHHV), f32)
-        n_scr[...] = jnp.zeros((G, DHQK), f32)
+        if use_initial:
+            c_scr[...] = c0_ref[0].reshape(G * DHQK, DHHV).astype(f32)
+            n_scr[...] = n0_ref[0].astype(f32)
+        else:
+            c_scr[...] = jnp.zeros((G * DHQK, DHHV), f32)
+            n_scr[...] = jnp.zeros((G, DHQK), f32)
 
     row = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    qall = q_ref[0]  # (L, G*DHQK)
+    kall = k_ref[0]
+    vall = v_ref[0]
+    if ragged:
+        # OOB loads are unspecified (can be NaN/Inf) — zero-mask before use
+        qall = jnp.where(mask, qall, 0)
+        kall = jnp.where(mask, kall, 0)
+        vall = jnp.where(mask, vall, 0)
 
-    for h in range(G):  # static unroll over the head group
-        q = q_ref[0, h, 0]
-        k = k_ref[0, h, 0]
-        v = v_ref[0, h, 0]
-        i_row = i_ref[0, 0, h : h + 1, :]  # (1, L)
+    for h in range(G):  # static unroll; heads are H-column slices
+        q = qall[:, h * DHQK : (h + 1) * DHQK]
+        k = kall[:, h * DHQK : (h + 1) * DHQK]
+        v = vall[:, h * DHHV : (h + 1) * DHHV]
+        i_row = i_ref[0, 0, h : h + 1, :]  # (1, L) — gates arrive pre-padded
         f_row = f_ref[0, 0, h : h + 1, :]
         b, a, logi = _chunk_gates(i_row, f_row)
         gbar = jnp.exp(g_ref[0, 0, 0, h])
 
         C_prev = c_scr[h * DHQK : (h + 1) * DHQK, :]
         n_prev = n_scr[h : h + 1, :]
+
+        if save_states:
+            cstates_ref[0, 0, h] = C_prev
+            nstates_ref[0, 0, h : h + 1, :] = n_prev
 
         s = jax.lax.dot_general(
             q.astype(dtype), k.astype(dtype),
@@ -76,8 +129,12 @@ def _fw_kernel_v2(
         )
         n_inter = jnp.sum(qbar * n_prev, axis=1, keepdims=True)
 
-        den = jnp.maximum(jnp.abs(n_inter + n_intra), 1.0)
-        h_ref[0, h, 0] = ((h_inter + h_intra) / (den + eps)).astype(h_ref.dtype)
+        den = jnp.maximum(jnp.abs(n_inter + n_intra), 1.0)  # (L, 1)
+        h_ref[0, :, h * DHHV : (h + 1) * DHHV] = (
+            (h_inter + h_intra) / (den + eps)
+        ).astype(h_ref.dtype)
+        if save_states:
+            nout_ref[0, 0, h : h + 1, :] = den.T
 
         kbar = k.astype(f32) * jnp.exp(a.T)
         dC = jax.lax.dot_general(
@@ -85,61 +142,543 @@ def _fw_kernel_v2(
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=f32,
         )
-        c_scr[h * DHQK : (h + 1) * DHQK, :] = gbar * C_prev + dC
-        n_scr[h : h + 1, :] = gbar * n_prev + jnp.sum(kbar, axis=0, keepdims=True)
+        C_new = gbar * C_prev + dC
+        n_new = gbar * n_prev + jnp.sum(kbar, axis=0, keepdims=True)
+        c_scr[h * DHQK : (h + 1) * DHQK, :] = C_new
+        n_scr[h : h + 1, :] = n_new
+
+        @pl.when(j == NC - 1)
+        def _final():
+            clast_ref[0, h] = C_new
+            nlast_ref[0, h : h + 1, :] = n_new
+
+
+def _fw_kernel_train(q, k, v, i, f, g, c0, n0,
+                     h, nout, cst, nst, clast, nlast, c_scr, n_scr, **kw):
+    _fw_body(q, k, v, i, f, g, c0, n0,
+             h, nout, cst, nst, clast, nlast, c_scr, n_scr,
+             save_states=True, **kw)
+
+
+def _fw_kernel_infer(q, k, v, i, f, g, c0, n0,
+                     h, clast, nlast, c_scr, n_scr, **kw):
+    _fw_body(q, k, v, i, f, g, c0, n0,
+             h, None, None, None, clast, nlast, c_scr, n_scr,
+             save_states=False, **kw)
+
+
+def _pack_gates(i, f, NC: int, L: int):
+    """(B, S, NH) gates -> padded (B, NC, NH, L) rows + (B, NC, 1, NH) decay.
+
+    Pad values make padded steps inert: i -> -1e4 (sigmoid input gate 0,
+    so the step writes nothing into C/n and D's column dies), f -> 1e4
+    (log sigmoid 0, so cumulative decays pass through unchanged).
+    """
+    B, S, NH = i.shape
+    pad = NC * L - S
+    if pad:
+        i = jnp.pad(i, ((0, 0), (0, pad), (0, 0)), constant_values=-1e4)
+        f = jnp.pad(f, ((0, 0), (0, pad), (0, 0)), constant_values=1e4)
+    ifl = i.reshape(B, NC, L, NH).transpose(0, 1, 3, 2).astype(f32)
+    ffl = f.reshape(B, NC, L, NH).transpose(0, 1, 3, 2).astype(f32)
+    scaG = jax.nn.log_sigmoid(ffl).sum(-1).reshape(B, NC, 1, NH)
+    return ifl, ffl, scaG
+
+
+def _fw_specs(G, HG, L, DHQK, DHHV, use_initial):
+    qkcols = lambda b, hg, j: (b, j, hg)
+    rowm = lambda b, hg, j: (b, j, hg, 0)
+    smem = lambda b, hg, j: (b, j, 0, hg)
+    st = (lambda b, hg, j: (b, hg, 0, 0)) if use_initial else (lambda b, hg, j: (0, hg, 0, 0))
+    st3 = (lambda b, hg, j: (b, hg, 0)) if use_initial else (lambda b, hg, j: (0, hg, 0))
+    in_specs = [
+        pl.BlockSpec((1, L, G * DHQK), qkcols),
+        pl.BlockSpec((1, L, G * DHQK), qkcols),
+        pl.BlockSpec((1, L, G * DHHV), qkcols),
+        pl.BlockSpec((1, 1, G, L), rowm),
+        pl.BlockSpec((1, 1, G, L), rowm),
+        pl.BlockSpec((1, 1, 1, G), smem, memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, G, DHQK, DHHV), st),
+        pl.BlockSpec((1, G, DHQK), st3),
+    ]
+    return in_specs, qkcols, rowm
+
+
+def _fw(
+    q, k, v, i, f, num_heads: int, c_initial=None, n_initial=None,
+    chunk_size: int = 128, head_group: int = 0,
+    qk_scale: float | None = None, eps: float = 1e-6,
+    compute_dtype=jnp.bfloat16, save_states: bool = True,
+):
+    """q/k (B, S, NH*DHQK); v (B, S, NH*DHHV); i/f (B, S, NH)."""
+    B, S, Hqk = q.shape
+    NH = num_heads
+    DHQK = Hqk // NH
+    DHHV = v.shape[-1] // NH
+    L = chunk_size
+    NC = _cdiv(S, L)
+    G = head_group or NH
+    assert NH % G == 0, f"NH={NH} % G={G}"
+    HG = NH // G
+    if qk_scale is None:
+        qk_scale = DHQK**-0.5
+    use_initial = c_initial is not None
+
+    ifl, ffl, scaG = _pack_gates(i, f, NC, L)
+    c0 = (
+        c_initial.astype(f32)
+        if use_initial
+        else jnp.zeros((1, NH, DHQK, DHHV), f32)
+    )
+    n0 = (
+        n_initial.astype(f32)
+        if use_initial
+        else jnp.zeros((1, NH, DHQK), f32)
+    )
+
+    in_specs, qkcols, rowm = _fw_specs(G, HG, L, DHQK, DHHV, use_initial)
+    kw = dict(
+        G=G, L=L, S=S, DHQK=DHQK, DHHV=DHHV, NC=NC, qk_scale=qk_scale,
+        eps=eps, use_initial=use_initial, dtype=compute_dtype,
+    )
+    last = lambda b, hg, j: (b, hg, 0, 0)
+    last3 = lambda b, hg, j: (b, hg, 0)
+    st5 = lambda b, hg, j: (b, j, hg, 0, 0)
+    st4 = lambda b, hg, j: (b, j, hg, 0)
+    scratch = [pltpu.VMEM((G * DHQK, DHHV), f32), pltpu.VMEM((G, DHQK), f32)]
+    grid = (B, HG, NC)
+
+    if save_states:
+        out = pl.pallas_call(
+            functools.partial(_fw_kernel_train, **kw),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, L, G * DHHV), qkcols),
+                pl.BlockSpec((1, 1, G, L), rowm),
+                pl.BlockSpec((1, 1, G, DHQK, DHHV), st5),
+                pl.BlockSpec((1, 1, G, DHQK), st4),
+                pl.BlockSpec((1, G, DHQK, DHHV), last),
+                pl.BlockSpec((1, G, DHQK), last3),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, S, NH * DHHV), q.dtype),
+                jax.ShapeDtypeStruct((B, NC, NH, L), f32),
+                jax.ShapeDtypeStruct((B, NC, NH, DHQK, DHHV), f32),
+                jax.ShapeDtypeStruct((B, NC, NH, DHQK), f32),
+                jax.ShapeDtypeStruct((B, NH, DHQK, DHHV), f32),
+                jax.ShapeDtypeStruct((B, NH, DHQK), f32),
+            ],
+            scratch_shapes=scratch,
+            interpret=_interpret(),
+        )(q, k, v, ifl, ffl, scaG, c0, n0)
+        h, n_out, cs, ns, c_last, n_last = out
+    else:
+        out = pl.pallas_call(
+            functools.partial(_fw_kernel_infer, **kw),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, L, G * DHHV), qkcols),
+                pl.BlockSpec((1, G, DHQK, DHHV), last),
+                pl.BlockSpec((1, G, DHQK), last3),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, S, NH * DHHV), q.dtype),
+                jax.ShapeDtypeStruct((B, NH, DHQK, DHHV), f32),
+                jax.ShapeDtypeStruct((B, NH, DHQK), f32),
+            ],
+            scratch_shapes=scratch,
+            interpret=_interpret(),
+        )(q, k, v, ifl, ffl, scaG, c0, n0)
+        h, c_last, n_last = out
+        n_out = cs = None
+
+    return h, n_out, cs, c_last, n_last
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+
+def _bw_dc_kernel(
+    q_ref, f_ref, g_ref, dh_ref, nout_ref, dclast_ref,
+    dcstates_ref, dc_scr,
+    *, G: int, L: int, S: int, DHQK: int, DHHV: int, NC: int,
+    qk_scale: float, eps: float, use_dclast: bool, dtype: Any,
+):
+    """Reverse scan: dC_{k-1} = e^g dC_k + Qbar_k^T (dH_k / n_k), G heads/step."""
+    j = pl.program_id(2)
+    jj = NC - 1 - j  # chunk visited this step
+    ragged = S % L != 0
+    mask = _row_mask(jj, L, S) if ragged else None
+
+    @pl.when(j == 0)
+    def _init():
+        if use_dclast:
+            dc_scr[...] = dclast_ref[0].reshape(G * DHQK, DHHV).astype(f32)
+        else:
+            dc_scr[...] = jnp.zeros((G * DHQK, DHHV), f32)
+
+    qall = q_ref[0]
+    dhall = dh_ref[0]
+    if ragged:
+        qall = jnp.where(mask, qall, 0)
+        dhall = jnp.where(mask, dhall, 0)
+
+    for h in range(G):
+        dC_after = dc_scr[h * DHQK : (h + 1) * DHQK, :]
+        dcstates_ref[0, 0, h] = dC_after
+
+        q = qall[:, h * DHQK : (h + 1) * DHQK]
+        dh = dhall[:, h * DHHV : (h + 1) * DHHV]
+        f_row = f_ref[0, 0, h : h + 1, :]
+        logf = jax.nn.log_sigmoid(f_row.astype(f32))
+        b = _cumsum_row(logf)
+        gbar = jnp.exp(g_ref[0, 0, 0, h])
+        n_row = nout_ref[0, 0, h : h + 1, :]  # (1, L); pad slots are 1.0
+        dhn = dh.astype(f32) / (n_row.T + eps)  # (L, DHHV)
+        qbar = q.astype(f32) * jnp.exp(b.T) * qk_scale
+        dc_scr[h * DHQK : (h + 1) * DHQK, :] = gbar * dC_after + jax.lax.dot_general(
+            qbar.astype(dtype), dhn.astype(dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+
+
+def _bw_dqkv_kernel(
+    q_ref, k_ref, v_ref, i_ref, f_ref,
+    cstates_ref, nout_ref, dh_ref, dcafter_ref,
+    dq_ref, dk_ref, dv_ref,
+    *, G: int, L: int, S: int, DHQK: int, DHHV: int, qk_scale: float,
+    eps: float, dtype: Any,
+):
+    """Per-chunk dQ/dK/dV given stored C and dC states; G heads per step."""
+    j = pl.program_id(2)
+    ragged = S % L != 0
+    mask = _row_mask(j, L, S) if ragged else None
+    row = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+
+    qall = q_ref[0]
+    kall = k_ref[0]
+    vall = v_ref[0]
+    dhall = dh_ref[0]
+    if ragged:
+        qall = jnp.where(mask, qall, 0)
+        kall = jnp.where(mask, kall, 0)
+        vall = jnp.where(mask, vall, 0)
+        dhall = jnp.where(mask, dhall, 0)
+
+    for h in range(G):
+        q = qall[:, h * DHQK : (h + 1) * DHQK]
+        k = kall[:, h * DHQK : (h + 1) * DHQK]
+        v = vall[:, h * DHHV : (h + 1) * DHHV]
+        dh = dhall[:, h * DHHV : (h + 1) * DHHV]
+        i_row = i_ref[0, 0, h : h + 1, :]
+        f_row = f_ref[0, 0, h : h + 1, :]
+        b, a, logi = _chunk_gates(i_row, f_row)
+        C_prev = cstates_ref[0, 0, h]
+        dC_after = dcafter_ref[0, 0, h]
+        n_row = nout_ref[0, 0, h : h + 1, :]
+        dhn = dh.astype(f32) / (n_row.T + eps)  # (L, DHHV)
+
+        D = jnp.where(row >= col, jnp.exp(b.T - b + logi), 0.0)
+
+        # P = (dhn V^T) ∘ D  (L, L)
+        P = jax.lax.dot_general(
+            dhn.astype(dtype), v.astype(dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        ) * D
+
+        s = jax.lax.dot_general(
+            q.astype(dtype), k.astype(dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        ) * qk_scale
+        sd = s * D
+
+        expb = jnp.exp(b.T)  # (L, 1)
+        expa = jnp.exp(a.T)
+
+        # dQ = scale * [ P K + e^b (dhn C_prev^T) ]
+        dq = jax.lax.dot_general(
+            P.astype(dtype), k.astype(dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ) * qk_scale
+        dq += jax.lax.dot_general(
+            dhn.astype(dtype), C_prev.astype(dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        ) * (expb * qk_scale)
+        dq_ref[0, :, h * DHQK : (h + 1) * DHQK] = dq.astype(dq_ref.dtype)
+
+        # dK = scale * P^T Q + e^a (V dC_after^T)
+        dk = jax.lax.dot_general(
+            P.astype(dtype), q.astype(dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ) * qk_scale
+        dk += jax.lax.dot_general(
+            v.astype(dtype), dC_after.astype(dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        ) * expa
+        dk_ref[0, :, h * DHQK : (h + 1) * DHQK] = dk.astype(dk_ref.dtype)
+
+        # dV = (S ∘ D)^T dhn + (e^a k) dC_after
+        dv = jax.lax.dot_general(
+            sd.astype(dtype), dhn.astype(dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        dv += jax.lax.dot_general(
+            (k.astype(f32) * expa).astype(dtype), dC_after.astype(dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        dv_ref[0, :, h * DHHV : (h + 1) * DHHV] = dv.astype(dv_ref.dtype)
+
+
+def _bw_head_group(NH: int, L: int) -> int:
+    """Largest divisor of NH whose dQKV kernel fits scoped VMEM.
+
+    Empirically the dQKV kernel needs ~2.5 MB/head at L=512 (measured
+    30 MB at 12 heads vs the 16 MB limit); budget 12 MB and scale by
+    the (L, L) transients.
+    """
+    per_head_mb = 2.5 * (L / 512) ** 2
+    g = NH
+    while g > 1 and g * per_head_mb > 12.0:
+        g = max(d for d in range(1, g) if NH % d == 0)
+    return g
+
+
+def _bw(
+    q, k, v, i, f, num_heads: int, n_out, c_states, dh, dc_last=None,
+    chunk_size: int = 128,
+    qk_scale: float | None = None, eps: float = 1e-6,
+    compute_dtype=jnp.bfloat16,
+):
+    """n_out/c_states arrive in the (B, NC, NH, ...) layout from the fw;
+    head-group re-partitioning is free (a BlockSpec choice, no reshape)."""
+    B, S, Hqk = q.shape
+    NH = num_heads
+    DHQK = Hqk // NH
+    DHHV = v.shape[-1] // NH
+    L = chunk_size
+    NC = _cdiv(S, L)
+    G = _bw_head_group(NH, L)
+    HG = NH // G
+    if qk_scale is None:
+        qk_scale = DHQK**-0.5
+    use_dclast = dc_last is not None
+
+    ifl, ffl, scaG = _pack_gates(i, f, NC, L)
+    dcl = (
+        dc_last.astype(f32)
+        if use_dclast
+        else jnp.zeros((1, NH, DHQK, DHHV), f32)
+    )
+
+    qkcols = lambda b, hg, j: (b, j, hg)
+    rowm = lambda b, hg, j: (b, j, hg, 0)
+    smem = lambda b, hg, j: (b, j, 0, hg)
+    qk_rev = lambda b, hg, j: (b, NC - 1 - j, hg)
+    row_rev = lambda b, hg, j: (b, NC - 1 - j, hg, 0)
+    smem_rev = lambda b, hg, j: (b, NC - 1 - j, 0, hg)
+    st5 = lambda b, hg, j: (b, j, hg, 0, 0)
+    grid = (B, HG, NC)
+
+    # 1) reverse-scan dC states
+    dc_states = pl.pallas_call(
+        functools.partial(
+            _bw_dc_kernel, G=G, L=L, S=S, DHQK=DHQK, DHHV=DHHV, NC=NC,
+            qk_scale=qk_scale, eps=eps, use_dclast=use_dclast,
+            dtype=compute_dtype,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, L, G * DHQK), qk_rev),
+            pl.BlockSpec((1, 1, G, L), row_rev),
+            pl.BlockSpec((1, 1, 1, G), smem_rev, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, L, G * DHHV), qk_rev),
+            pl.BlockSpec((1, 1, G, L), row_rev),
+            pl.BlockSpec(
+                (1, G, DHQK, DHHV),
+                (lambda b, hg, j: (b, hg, 0, 0)) if use_dclast else (lambda b, hg, j: (0, hg, 0, 0)),
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, G, DHQK, DHHV), lambda b, hg, j: (b, NC - 1 - j, hg, 0, 0)),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((B, NC, NH, DHQK, DHHV), f32)],
+        scratch_shapes=[pltpu.VMEM((G * DHQK, DHHV), f32)],
+        interpret=_interpret(),
+    )(q, ffl, scaG, dh, n_out, dcl)[0]
+
+    # 2) fused per-chunk dQ/dK/dV
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _bw_dqkv_kernel, G=G, L=L, S=S, DHQK=DHQK, DHHV=DHHV,
+            qk_scale=qk_scale, eps=eps, dtype=compute_dtype,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, L, G * DHQK), qkcols),
+            pl.BlockSpec((1, L, G * DHQK), qkcols),
+            pl.BlockSpec((1, L, G * DHHV), qkcols),
+            pl.BlockSpec((1, 1, G, L), rowm),
+            pl.BlockSpec((1, 1, G, L), rowm),
+            pl.BlockSpec((1, 1, G, DHQK, DHHV), st5),
+            pl.BlockSpec((1, 1, G, L), rowm),
+            pl.BlockSpec((1, L, G * DHHV), qkcols),
+            pl.BlockSpec((1, 1, G, DHQK, DHHV), st5),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, L, G * DHQK), qkcols),
+            pl.BlockSpec((1, L, G * DHQK), qkcols),
+            pl.BlockSpec((1, L, G * DHHV), qkcols),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, S, NH * DHQK), q.dtype),
+            jax.ShapeDtypeStruct((B, S, NH * DHQK), k.dtype),
+            jax.ShapeDtypeStruct((B, S, NH * DHHV), v.dtype),
+        ],
+        interpret=_interpret(),
+    )(q, k, v, ifl, ffl, c_states, n_out, dh, dc_states)
+
+    # 3) gate grads (elementwise + cumsums over S; XLA fuses these fine)
+    #    parity: ref:.../chunkwise_gates.py:75-100
+    B_, S_, NH_ = i.shape
+    qg = q.astype(f32).reshape(B, S, NH, DHQK)
+    kg = k.astype(f32).reshape(B, S, NH, DHQK)
+    dqg = dq.astype(f32).reshape(B, S, NH, DHQK)
+    dkg = dk.astype(f32).reshape(B, S, NH, DHQK)
+    dfbar = (qg * dqg).sum(-1) - (kg * dkg).sum(-1)  # (B, S, NH)
+    dfrev = jnp.cumsum(dfbar[:, ::-1], axis=1)[:, ::-1]
+    df = dfrev * jax.nn.sigmoid(-f.astype(f32))
+    di = (kg * dkg).sum(-1) * jax.nn.sigmoid(-i.astype(f32))
+
+    dc0 = dc_states[:, 0]  # (B, NH, DHQK, DHHV)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), di, df, dc0
+
+
+# ---------------------------------------------------------------------------
+# public API with custom VJP — native (B, S, H) calling convention
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
+def _chunkwise_core_v2(q, k, v, i, f, c_initial, n_initial,
+                       num_heads, chunk_size, qk_scale, eps, compute_dtype,
+                       return_last_states):
+    # primal (not differentiated): lean forward without backward outputs
+    h, _, _, c_last, n_last = _fw(
+        q, k, v, i, f, num_heads, c_initial, n_initial,
+        chunk_size=chunk_size, qk_scale=qk_scale,
+        eps=eps, compute_dtype=compute_dtype, save_states=False,
+    )
+    return (h, (c_last, n_last)) if return_last_states else h
+
+
+def _core_fwd(q, k, v, i, f, c_initial, n_initial,
+              num_heads, chunk_size, qk_scale, eps, compute_dtype,
+              return_last_states):
+    h, n_out, cs, c_last, n_last = _fw(
+        q, k, v, i, f, num_heads, c_initial, n_initial,
+        chunk_size=chunk_size, qk_scale=qk_scale,
+        eps=eps, compute_dtype=compute_dtype, save_states=True,
+    )
+    res = (q, k, v, i, f, n_out, cs, c_initial is not None)
+    out = (h, (c_last, n_last)) if return_last_states else h
+    return out, res
+
+
+def _core_bwd(num_heads, chunk_size, qk_scale, eps, compute_dtype,
+              return_last_states, res, g):
+    q, k, v, i, f, n_out, cs, had_init = res
+    if return_last_states:
+        dh, (dc_last, _dn_last) = g
+    else:
+        dh, dc_last = g, None
+    dq, dk, dv, di, df, dc0 = _bw(
+        q, k, v, i, f, num_heads, n_out, cs, dh, dc_last=dc_last,
+        chunk_size=chunk_size, qk_scale=qk_scale,
+        eps=eps, compute_dtype=compute_dtype,
+    )
+    dci = dc0 if had_init else None
+    dni = jnp.zeros_like(dc0[..., 0]) if had_init else None
+    return dq, dk, dv, di, df, dci, dni
+
+
+_chunkwise_core_v2.defvjp(_core_fwd, _core_bwd)
+
+
+def mlstm_siging_chunkwise_pallas_v2_bsh(
+    q, k, v, i, f,
+    num_heads: int,
+    chunk_size: int = 128,
+    c_initial=None,
+    n_initial=None,
+    qk_scale: float | None = None,
+    normalize: bool = True,
+    return_last_states: bool = False,
+    eps: float = 1e-6,
+    compute_dtype=jnp.bfloat16,
+):
+    """Native entry: q/k/v (B, S, H), i/f (B, S, NH) — zero transposes.
+
+    This is the model path (MatrixLSTMCell feeds (B, S, H) streams
+    directly); states stay (B, NH, DHQK, DHHV) for wrapper parity.
+    """
+    assert normalize, "unnormalized variant not implemented in the Pallas path"
+    if qk_scale is None:
+        qk_scale = (q.shape[-1] // num_heads) ** -0.5
+    return _chunkwise_core_v2(
+        q, k, v, i, f, c_initial, n_initial,
+        num_heads, chunk_size, qk_scale, eps, compute_dtype,
+        return_last_states,
+    )
+
+
+mlstm_siging_chunkwise_pallas_v2_bsh.handles_ragged = True
 
 
 def mlstm_siging_chunkwise_pallas_v2(
     q, k, v, i, f,
     chunk_size: int = 128,
-    head_group: int = 0,  # 0 -> all NH heads per step
+    c_initial=None,
+    n_initial=None,
     qk_scale: float | None = None,
+    normalize: bool = True,
+    return_last_states: bool = False,
     eps: float = 1e-6,
     compute_dtype=jnp.bfloat16,
+    head_group: int = 0,  # kept for API compat; grouping is automatic
 ):
-    """Forward-only v2 (head-grouped grid)."""
+    """Registry-convention entry: (B, NH, S, DH) operands like every other
+    chunkwise kernel.  Transposes to the native (B, S, H) layout — prefer
+    the _bsh entry in model code where the streams already are (B, S, H)."""
     B, NH, S, DHQK = q.shape
-    DHHV = v.shape[-1]
-    L = chunk_size
-    assert S % L == 0
-    NC = S // L
-    G = head_group or NH
-    BNH = B * NH
-    assert BNH % G == 0
-    NG = BNH // G
-    if qk_scale is None:
-        qk_scale = DHQK**-0.5
-
-    qf = q.reshape(NG, G, NC, L, DHQK)
-    kf = k.reshape(NG, G, NC, L, DHQK)
-    vf = v.reshape(NG, G, NC, L, DHHV)
-    ifl = i.reshape(NG, G, NC, L).transpose(0, 2, 1, 3)  # (NG, NC, G, L)
-    ffl = f.reshape(NG, G, NC, L).transpose(0, 2, 1, 3)
-    scaG = (
-        jax.nn.log_sigmoid(f.astype(f32)).reshape(NG, G, NC, L).sum(-1)
-        .transpose(0, 2, 1).reshape(NG, NC, 1, G)
+    to_bsh = lambda x: jnp.swapaxes(x, 1, 2).reshape(B, S, -1)
+    out = mlstm_siging_chunkwise_pallas_v2_bsh(
+        to_bsh(q), to_bsh(k), to_bsh(v),
+        jnp.swapaxes(i, 1, 2), jnp.swapaxes(f, 1, 2),
+        num_heads=NH, chunk_size=chunk_size,
+        c_initial=c_initial, n_initial=n_initial, qk_scale=qk_scale,
+        normalize=normalize, return_last_states=return_last_states,
+        eps=eps, compute_dtype=compute_dtype,
     )
+    if return_last_states:
+        h, state = out
+    else:
+        h, state = out, None
+    h = jnp.swapaxes(h.reshape(B, S, NH, -1), 1, 2)
+    return (h, state) if state is not None else h
 
-    h = pl.pallas_call(
-        functools.partial(
-            _fw_kernel_v2, G=G, L=L, DHQK=DHQK, DHHV=DHHV, NC=NC,
-            qk_scale=qk_scale, eps=eps, dtype=compute_dtype,
-        ),
-        grid=(NG, NC),
-        in_specs=[
-            pl.BlockSpec((1, G, 1, L, DHQK), lambda bi, j: (bi, 0, j, 0, 0)),
-            pl.BlockSpec((1, G, 1, L, DHQK), lambda bi, j: (bi, 0, j, 0, 0)),
-            pl.BlockSpec((1, G, 1, L, DHHV), lambda bi, j: (bi, 0, j, 0, 0)),
-            pl.BlockSpec((1, 1, G, L), lambda bi, j: (bi, j, 0, 0)),
-            pl.BlockSpec((1, 1, G, L), lambda bi, j: (bi, j, 0, 0)),
-            pl.BlockSpec((1, 1, 1, G), lambda bi, j: (bi, j, 0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((1, G, 1, L, DHHV), lambda bi, j: (bi, 0, j, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((NG, G, NC, L, DHHV), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((G * DHQK, DHHV), f32),
-            pltpu.VMEM((G, DHQK), f32),
-        ],
-        interpret=_interpret(),
-    )(qf, kf, vf, ifl, ffl, scaG)
-    return h.reshape(B, NH, S, DHHV)
+
+mlstm_siging_chunkwise_pallas_v2.handles_ragged = True

@@ -59,6 +59,9 @@ def wrap_chunkwise_pad_zeros(
         "pad_zeros wrapper must not return states (they would include padding)"
     )
     S = q.shape[2]
+    if getattr(kernel, "handles_ragged", False):
+        # kernel masks its own ragged last chunk — no HBM pad round-trip
+        return kernel(q, k, v, i, f, chunk_size=chunk_size, **kwargs)
     cs = pick_chunk_size(S, chunk_size) if auto_divisor else chunk_size
     pad = (-S) % cs
     if pad == 0:

@@ -140,3 +140,29 @@ def convert_torch_state_dict(
     if strict and unused:
         raise KeyError(f"unused torch params: {unused[:10]} (+{max(0, len(unused)-10)} more)")
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def export_flax_to_torch_state_dict(
+    variables: Mapping[str, Any], prefix: str = ""
+) -> dict[str, np.ndarray]:
+    """Inverse of :func:`convert_torch_state_dict`: flax tree -> torch names.
+
+    Same name translation, inverse layout transforms (dense kernels
+    transposed back, conv HWIO -> OIHW).  Torch-only leaves the flax tree
+    has no counterpart for (DFL's frozen arange conv, BN counters) are
+    left to the torch model's own init.  Used for dataset-level parity:
+    weights trained here run through the *reference* validator.
+    """
+    out: dict[str, np.ndarray] = {}
+    flat = jax.tree_util.tree_flatten_with_path(variables)[0]
+    for keypath, leaf in flat:
+        path = tuple(k.key if hasattr(k, "key") else str(k) for k in keypath)
+        name, kind = flax_path_to_torch_name(path)
+        t = np.asarray(leaf)
+        if kind == "kernel":
+            if t.ndim == 2:
+                t = t.T
+            elif t.ndim == 4:  # HWIO -> OIHW
+                t = t.transpose(3, 2, 0, 1)
+        out[prefix + name] = t
+    return out
