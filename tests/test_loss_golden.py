@@ -129,3 +129,48 @@ def test_ademamix_matches_reference():
     np.testing.assert_allclose(
         np.asarray(params["w"]), wt.detach().numpy(), atol=1e-5, rtol=1e-4
     )
+
+
+def test_warmup_matches_torch_sgd_groups():
+    """build_optimizer's warmup == the reference's per-group np.interp
+    warmup of lr (bias group from warmup_bias_lr) and momentum
+    (ref:engine/trainer.py:369-378), stepped against torch SGD."""
+    import math
+
+    import optax
+    import torch
+
+    from xlstm_yolo_tpu.engine import optimizers as opt_lib
+
+    params = {"layer": {"kernel": jnp.ones((4, 4)), "bias": jnp.zeros((4,))}}
+    sched = opt_lib.cosine_lr(0.01, 0.01, 10, 100)
+    tx, _, _ = opt_lib.build_optimizer(
+        params, name="SGD", lr=0.01, momentum=0.937, schedule=sched,
+        weight_decay=0.0, warmup_steps=100, warmup_momentum=0.8,
+        warmup_bias_lr=0.1,
+    )
+    st = tx.init(params)
+    g = {"layer": {"kernel": jnp.ones((4, 4)), "bias": jnp.ones((4,))}}
+
+    tk = torch.ones(4, 4, requires_grad=True)
+    tb = torch.zeros(4, requires_grad=True)
+    opt = torch.optim.SGD(
+        [{"params": [tk]}, {"params": [tb]}], lr=0.01, momentum=0.937, nesterov=True
+    )
+    p = params
+    for ni in range(120):
+        lf = 0.01 + (1 - 0.01) * (1 + math.cos(math.pi * min(ni / 1000, 1))) / 2
+        for j, x in enumerate(opt.param_groups):
+            x["lr"] = np.interp(ni, [0, 100], [0.1 if j == 1 else 0.0, 0.01 * lf])
+            x["momentum"] = np.interp(ni, [0, 100], [0.8, 0.937])
+        tk.grad = torch.ones(4, 4)
+        tb.grad = torch.ones(4)
+        opt.step()
+        u, st = tx.update(g, st, p)
+        p = optax.apply_updates(p, u)
+    np.testing.assert_allclose(
+        np.asarray(p["layer"]["kernel"]), tk.detach().numpy(), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(p["layer"]["bias"]), tb.detach().numpy(), atol=2e-4
+    )

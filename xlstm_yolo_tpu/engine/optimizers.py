@@ -151,6 +151,33 @@ def linear_lr(lr0: float, lrf: float, epochs: int, steps_per_epoch: int, warmup_
     return sched
 
 
+def warmup_wrap(base_sched, warmup_steps: int, x0: float = 0.0):
+    """Linear interp from ``x0`` to the base schedule over the warmup.
+
+    Parity: ref:engine/trainer.py:369-378 — ``np.interp(ni, [0, nw],
+    [x0, lr0 * lf(epoch)])``; the target tracks the decaying schedule.
+    """
+    base = base_sched if callable(base_sched) else (lambda s: jnp.asarray(base_sched, f32))
+
+    def sched(step):
+        s = jnp.asarray(step, f32)
+        tgt = base(s)
+        w = jnp.clip(s / max(warmup_steps, 1), 0.0, 1.0)
+        return x0 * (1.0 - w) + tgt * w
+
+    return sched
+
+
+def bias_label_fn(params) -> Any:
+    """'bias' for 1-D bias leaves (the reference's param group g2), else 'main'."""
+
+    def lab(path, leaf):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        return "bias" if name == "bias" and jnp.ndim(leaf) <= 1 else "main"
+
+    return jax.tree_util.tree_map_with_path(lab, params)
+
+
 def build_optimizer(
     params,
     name: str = "auto",
@@ -161,39 +188,65 @@ def build_optimizer(
     iterations: int = 10000,
     nc: int = 80,
     clip_norm: float = 10.0,
+    warmup_steps: int = 0,
+    warmup_momentum: float = 0.8,
+    warmup_bias_lr: float = 0.1,
+    bias_schedule=None,
 ) -> tuple[optax.GradientTransformation, float, str]:
     """Build the optax chain: clip -> optimizer(lr schedule, masked wd).
 
     Parity: BaseTrainer.build_optimizer (trainer.py:768-840), incl. the
     'auto' heuristic choosing AdamW (lr=0.002*5/(4+nc)) for short runs
-    and SGD otherwise.
+    and SGD otherwise.  With ``warmup_steps`` > 0 the warmup semantics of
+    ref:trainer.py:369-378 apply: the bias group's lr interpolates from
+    ``warmup_bias_lr`` (others from 0) and SGD/RMSProp momentum from
+    ``warmup_momentum`` to its final value.
     """
     if name == "auto":
         lr_fit = round(0.002 * 5 / (4 + nc), 6)
         name, lr, momentum = ("SGD", 0.01, 0.9) if iterations > 10000 else ("AdamW", lr_fit, 0.9)
 
-    lr_s = schedule if schedule is not None else lr
     mask = decay_mask_fn(params)
-
-    if name == "SGD":
-        tx = optax.chain(
-            optax.add_decayed_weights(weight_decay, mask=mask),
-            optax.sgd(lr_s, momentum=momentum, nesterov=True),
+    warm = warmup_steps > 0
+    lr_main = schedule if schedule is not None else lr
+    if warm:
+        lr_main = warmup_wrap(lr_main, warmup_steps, 0.0)
+        lr_bias = bias_schedule if bias_schedule is not None else warmup_wrap(
+            schedule if schedule is not None else lr, warmup_steps, warmup_bias_lr
         )
-    elif name in {"Adam", "Adamax", "NAdam", "RAdam"}:
-        tx = optax.adam(lr_s, b1=momentum, b2=0.999)
-    elif name == "AdamW":
-        tx = optax.adamw(lr_s, b1=momentum, b2=0.999, weight_decay=weight_decay, mask=mask)
-    elif name == "RMSProp":
-        tx = optax.rmsprop(lr_s, momentum=momentum)
-    elif name == "AdEMAMix":
-        tx = ademamix(
-            lr_s, b1=momentum, b2=0.999, b3=0.9999, alpha=8.0,
-            beta3_warmup=iterations, alpha_warmup=iterations,
-            weight_decay=weight_decay, mask=mask,
+        mom_s = warmup_wrap(momentum, warmup_steps, warmup_momentum)
+    else:
+        lr_bias, mom_s = lr_main, momentum
+
+    def mk(lr_s, wd):
+        if name == "SGD":
+            return optax.chain(
+                optax.add_decayed_weights(wd, mask=mask) if wd else optax.identity(),
+                optax.inject_hyperparams(optax.sgd)(
+                    learning_rate=lr_s, momentum=mom_s, nesterov=True
+                ),
+            )
+        if name in {"Adam", "Adamax", "NAdam", "RAdam"}:
+            return optax.adam(lr_s, b1=momentum, b2=0.999)
+        if name == "AdamW":
+            return optax.adamw(lr_s, b1=momentum, b2=0.999, weight_decay=wd, mask=mask if wd else None)
+        if name == "RMSProp":
+            return optax.inject_hyperparams(optax.rmsprop)(learning_rate=lr_s, momentum=mom_s)
+        if name == "AdEMAMix":
+            return ademamix(
+                lr_s, b1=momentum, b2=0.999, b3=0.9999, alpha=8.0,
+                beta3_warmup=iterations, alpha_warmup=iterations,
+                weight_decay=wd, mask=mask if wd else None,
+            )
+        raise ValueError(f"unknown optimizer {name}")
+
+    if warm:
+        tx = optax.multi_transform(
+            {"main": mk(lr_main, weight_decay), "bias": mk(lr_bias, 0.0)},
+            bias_label_fn(params),
         )
     else:
-        raise ValueError(f"unknown optimizer {name}")
+        tx = mk(lr_main, weight_decay)
 
     tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
     return tx, lr, name

@@ -59,9 +59,13 @@ def make_train_step(
     """
 
     def loss_fn(params, batch_stats, batch, rng):
+        img = batch["img"]
+        if img.dtype == jnp.uint8:
+            # normalize on-device: the host ships 1/4 the bytes
+            img = img.astype(f32) / 255.0
         out, mutated = model_train.apply(
             {"params": params, "batch_stats": batch_stats},
-            batch["img"],
+            img,
             mutable=["batch_stats"],
             rngs={"droppath": rng},
         )

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import csv
 import math
+import queue
+import threading
 import time
 from pathlib import Path
 from types import SimpleNamespace
@@ -29,6 +31,37 @@ from xlstm_yolo_tpu.nn.tasks import build_detection_model
 from xlstm_yolo_tpu.parallel import mesh as mesh_lib
 from xlstm_yolo_tpu.utils.callbacks import Callbacks, add_tensorboard
 from xlstm_yolo_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+
+_SENTINEL = object()
+
+
+def _prefetch(gen, depth: int = 2):
+    """Run ``gen`` on a background thread, buffering ``depth`` items.
+
+    Double-buffers host batch assembly + host->device transfer behind
+    the (async-dispatched) train step; exceptions re-raise in the
+    consumer."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    err: list[BaseException] = []
+
+    def worker():
+        try:
+            for item in gen:
+                q.put(item)
+        except BaseException as e:  # re-raised on the main thread
+            err.append(e)
+        finally:
+            q.put(_SENTINEL)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            if err:
+                raise err[0]
+            return
+        yield item
 
 
 class EarlyStopping:
@@ -129,14 +162,19 @@ class DetectionTrainer:
         iterations = steps_per_epoch * epochs
         warmup_steps = max(round(float(args.warmup_epochs) * steps_per_epoch), 100)
         sched_fn = opt_lib.cosine_lr if args.cos_lr else opt_lib.linear_lr
+        # base schedule WITHOUT warmup — build_optimizer applies the
+        # reference warmup semantics (bias group from warmup_bias_lr,
+        # others from 0, momentum from warmup_momentum; trainer.py:369-378)
         schedule = sched_fn(
             float(args.lr0), float(args.lrf), epochs, steps_per_epoch,
-            warmup_steps=warmup_steps,
         )
         tx, lr0, opt_name = opt_lib.build_optimizer(
             variables["params"], name=args.optimizer, lr=float(args.lr0),
             momentum=float(args.momentum), weight_decay=weight_decay,
             schedule=schedule, iterations=iterations, nc=nc,
+            warmup_steps=warmup_steps,
+            warmup_momentum=float(getattr(args, "warmup_momentum", 0.8)),
+            warmup_bias_lr=float(getattr(args, "warmup_bias_lr", 0.1)),
         )
         state = TrainState.create(variables, tx)
         if args.resume:
@@ -178,32 +216,31 @@ class DetectionTrainer:
 
             losses = []
             t_ep = time.time()
-            micro_queue = []
-            for bi, host_batch in enumerate(loader._iter_epoch(epoch)):
-                micro_queue.append(host_batch)
-                if len(micro_queue) < accumulate:
-                    continue
-                if accumulate == 1:
-                    hb = micro_queue[0]
-                    dev_batch = {
-                        "img": jnp.asarray(hb["img"], jnp.float32) / 255.0,
-                        "cls": jnp.asarray(hb["cls"]),
-                        "bboxes": jnp.asarray(hb["bboxes"]),
-                        "mask": jnp.asarray(hb["mask"]),
-                    }
-                else:
-                    dev_batch = {
-                        "img": jnp.asarray(
-                            np.stack([b["img"] for b in micro_queue]), jnp.float32
-                        ) / 255.0,
-                        "cls": jnp.asarray(np.stack([b["cls"] for b in micro_queue])),
-                        "bboxes": jnp.asarray(np.stack([b["bboxes"] for b in micro_queue])),
-                        "mask": jnp.asarray(np.stack([b["mask"] for b in micro_queue])),
-                    }
-                micro_queue = []
-                dev_batch = mesh_lib.shard_host_batch(
-                    dev_batch, mesh, axis=0 if accumulate == 1 else 1
-                )
+
+            def epoch_batches(ep=epoch):
+                """Assemble optimizer-step batches: uint8 images (the step
+                normalizes on-device — 1/4 the host->device bytes), one
+                sharded device_put per leaf."""
+                keys = ("img", "cls", "bboxes", "mask")
+                micro = []
+                for host_batch in loader._iter_epoch(ep):
+                    micro.append(host_batch)
+                    if len(micro) < accumulate:
+                        continue
+                    if accumulate == 1:
+                        hostb = {k: micro[0][k] for k in keys}
+                        axis = 0
+                    else:
+                        hostb = {k: np.stack([b[k] for b in micro]) for k in keys}
+                        axis = 1
+                    micro = []
+                    yield mesh_lib.shard_host_batch(hostb, mesh, axis=axis)
+
+            # double-buffered host->device prefetch: the next batch is
+            # assembled + transferred on a background thread while the
+            # current step runs (the reference overlaps via DataLoader
+            # workers + pin_memory, ref:data/build.py:139)
+            for bi, dev_batch in enumerate(_prefetch(epoch_batches())):
                 step_rng, sub = jax.random.split(step_rng)
                 state, metrics = step_jit(state, dev_batch, sub)
                 losses.append(metrics)

@@ -333,11 +333,11 @@ def _bw_dc_kernel(
 
         q = qall[:, h * DHQK : (h + 1) * DHQK]
         dh = dhall[:, h * DHHV : (h + 1) * DHHV]
-        f_row = f_ref[0, 0, h : h + 1, :]
+        f_row = f_ref[0, 0, 0, h : h + 1, :]
         logf = jax.nn.log_sigmoid(f_row.astype(f32))
         b = _cumsum_row(logf)
-        gbar = jnp.exp(g_ref[0, 0, 0, h])
-        n_row = nout_ref[0, 0, h : h + 1, :]  # (1, L); pad slots are 1.0
+        gbar = jnp.exp(g_ref[0, 0, 0, 0, h])
+        n_row = nout_ref[0, 0, 0, h : h + 1, :]  # (1, L); pad slots are 1.0
         dhn = dh.astype(f32) / (n_row.T + eps)  # (L, DHHV)
         qbar = q.astype(f32) * jnp.exp(b.T) * qk_scale
         dc_scr[h * DHQK : (h + 1) * DHQK, :] = gbar * dC_after + jax.lax.dot_general(
@@ -376,12 +376,12 @@ def _bw_dqkv_kernel(
         k = kall[:, h * DHQK : (h + 1) * DHQK]
         v = vall[:, h * DHHV : (h + 1) * DHHV]
         dh = dhall[:, h * DHHV : (h + 1) * DHHV]
-        i_row = i_ref[0, 0, h : h + 1, :]
-        f_row = f_ref[0, 0, h : h + 1, :]
+        i_row = i_ref[0, 0, 0, h : h + 1, :]
+        f_row = f_ref[0, 0, 0, h : h + 1, :]
         b, a, logi = _chunk_gates(i_row, f_row)
         C_prev = cstates_ref[0, 0, h]
         dC_after = dcafter_ref[0, 0, h]
-        n_row = nout_ref[0, 0, h : h + 1, :]
+        n_row = nout_ref[0, 0, 0, h : h + 1, :]
         dhn = dh.astype(f32) / (n_row.T + eps)  # (L, DHHV)
 
         D = jnp.where(row >= col, jnp.exp(b.T - b + logi), 0.0)
@@ -478,6 +478,13 @@ def _bw(
     use_dclast = dc_last is not None
 
     ifl, ffl, scaG = _pack_gates(i, f, NC, L)
+    # Mosaic requires block dims -2/-1 to divide (8, 128) or equal the
+    # array dims; a (…, G, L) block with G < NH violates that on the 4-D
+    # (B, NC, NH, L) rows, so give the bw a 5-D (B, NC, HG, G, L) view.
+    g5 = lambda x: x.reshape(B, NC, HG, G, L)
+    ifl, ffl = g5(ifl), g5(ffl)
+    scaG = scaG.reshape(B, NC, HG, 1, G)
+    n_out = g5(n_out)
     dcl = (
         dc_last.astype(f32)
         if use_dclast
@@ -485,11 +492,11 @@ def _bw(
     )
 
     qkcols = lambda b, hg, j: (b, j, hg)
-    rowm = lambda b, hg, j: (b, j, hg, 0)
-    smem = lambda b, hg, j: (b, j, 0, hg)
+    rowm = lambda b, hg, j: (b, j, hg, 0, 0)
+    smem = lambda b, hg, j: (b, j, hg, 0, 0)
     qk_rev = lambda b, hg, j: (b, NC - 1 - j, hg)
-    row_rev = lambda b, hg, j: (b, NC - 1 - j, hg, 0)
-    smem_rev = lambda b, hg, j: (b, NC - 1 - j, 0, hg)
+    row_rev = lambda b, hg, j: (b, NC - 1 - j, hg, 0, 0)
+    smem_rev = lambda b, hg, j: (b, NC - 1 - j, hg, 0, 0)
     st5 = lambda b, hg, j: (b, j, hg, 0, 0)
     grid = (B, HG, NC)
 
@@ -503,10 +510,10 @@ def _bw(
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, L, G * DHQK), qk_rev),
-            pl.BlockSpec((1, 1, G, L), row_rev),
-            pl.BlockSpec((1, 1, 1, G), smem_rev, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, G, L), row_rev),
+            pl.BlockSpec((1, 1, 1, 1, G), smem_rev, memory_space=pltpu.SMEM),
             pl.BlockSpec((1, L, G * DHHV), qk_rev),
-            pl.BlockSpec((1, 1, G, L), row_rev),
+            pl.BlockSpec((1, 1, 1, G, L), row_rev),
             pl.BlockSpec(
                 (1, G, DHQK, DHHV),
                 (lambda b, hg, j: (b, hg, 0, 0)) if use_dclast else (lambda b, hg, j: (0, hg, 0, 0)),
@@ -531,10 +538,10 @@ def _bw(
             pl.BlockSpec((1, L, G * DHQK), qkcols),
             pl.BlockSpec((1, L, G * DHQK), qkcols),
             pl.BlockSpec((1, L, G * DHHV), qkcols),
-            pl.BlockSpec((1, 1, G, L), rowm),
-            pl.BlockSpec((1, 1, G, L), rowm),
+            pl.BlockSpec((1, 1, 1, G, L), rowm),
+            pl.BlockSpec((1, 1, 1, G, L), rowm),
             pl.BlockSpec((1, 1, G, DHQK, DHHV), st5),
-            pl.BlockSpec((1, 1, G, L), rowm),
+            pl.BlockSpec((1, 1, 1, G, L), rowm),
             pl.BlockSpec((1, L, G * DHHV), qkcols),
             pl.BlockSpec((1, 1, G, DHQK, DHHV), st5),
         ],
