@@ -189,3 +189,44 @@ def test_model_v2_kernel_matches_native(rng):
     np.testing.assert_allclose(
         np.asarray(y2[..., 4:]), np.asarray(y1[..., 4:]), atol=1e-4, rtol=1e-3
     )
+
+
+def test_pallas_exp_gate_grads_and_states(rng):
+    """Exp-gate Pallas custom VJP vs jnp AD with stop-grad stabilizers
+    (the reference bw treats scaM/m_comb/den as constants); plus state
+    threading through (C, n, m)."""
+    from xlstm_yolo_tpu.ops import mlstm_chunkwise_stabilized
+    from xlstm_yolo_tpu.ops.pallas.chunkwise_exp import mlstm_chunkwise_exp_pallas as pe
+
+    B, NH, S, DH, L = 2, 3, 64, 16, 16
+    q = jnp.asarray(rng.normal(size=(B, NH, S, DH)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, NH, S, DH)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, NH, S, DH)), jnp.float32)
+    i = jnp.asarray(rng.normal(size=(B, NH, S)), jnp.float32)  # raw exp gate
+    f = jnp.asarray(rng.normal(size=(B, NH, S)) + 4.0, jnp.float32)
+
+    def loss_pl(*a):
+        return (pe(*a, chunk_size=L, compute_dtype=jnp.float32) ** 2).sum()
+
+    def loss_ref(*a):
+        return (mlstm_chunkwise_stabilized(*a, chunk_size=L, stopgrad_norm=True) ** 2).sum()
+
+    gp = jax.grad(loss_pl, argnums=(0, 1, 2, 3, 4))(q, k, v, i, f)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, i, f)
+    for a, b, name in zip(gr, gp, "qkvif"):
+        scale = float(jnp.abs(a).max())  # exp-gate grads reach ~1e4
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-3, atol=2e-6 * max(scale, 1.0),
+            err_msg=f"grad {name}",
+        )
+
+    h_ref = mlstm_chunkwise_stabilized(q, k, v, i, f, chunk_size=L)
+    h1, st = pe(q[:, :, :32], k[:, :, :32], v[:, :, :32], i[:, :, :32], f[:, :, :32],
+                chunk_size=L, return_last_states=True, compute_dtype=jnp.float32)
+    h2 = pe(q[:, :, 32:], k[:, :, 32:], v[:, :, 32:], i[:, :, 32:], f[:, :, 32:],
+            chunk_size=L, c_initial=st[0], n_initial=st[1], m_initial=st[2],
+            compute_dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate([h1, h2], 2)), np.asarray(h_ref),
+        atol=3e-5, rtol=1e-4,
+    )

@@ -371,9 +371,12 @@ class MatrixLSTMCell(nn.Module):
         i_pre, f_pre = jnp.split(if_preact, 2, axis=-1)  # (B, S, NH)
         cd = self.compute_dtype or q.dtype
 
-        if self.chunkwise_kernel.endswith("pallas_xl_chunk_siging_v2"):
-            # v2 takes the (B, S, H) streams directly — no head transposes
-            # (Pallas would materialize them; XLA fuses them for the scan)
+        # v2 takes the (B, S, H) streams directly — no head transposes
+        # (Pallas would materialize them; XLA fuses them for the scan).
+        # Below ~1k tokens the XLA scan beats the kernel (measured 0.27 vs
+        # 1.81 ms at S=400: launch overhead + ragged masking dominate), so
+        # short sequences stay on the native path.
+        if self.chunkwise_kernel.endswith("pallas_xl_chunk_siging_v2") and S >= 1024:
             return self._call_v2_bsh(q, k, v, i_pre, f_pre, state, cd, B, S, H, NH, DH)
 
         i_pre = jnp.swapaxes(i_pre, -1, -2)  # (B, NH, S)
@@ -384,9 +387,12 @@ class MatrixLSTMCell(nn.Module):
 
         qh, kh, vh = heads(q).astype(cd), heads(k).astype(cd), heads(v).astype(cd)
 
-        is_pallas = "pallas" in self.chunkwise_kernel
+        ck = self.chunkwise_kernel
+        if ck.endswith("pallas_xl_chunk_siging_v2"):
+            ck = "chunkwise--native_autograd"  # short-sequence fallback
+        is_pallas = "pallas" in ck
         cfg = ops_backend.mLSTMBackendConfig(
-            chunkwise_kernel=self.chunkwise_kernel,
+            chunkwise_kernel=ck,
             sequence_kernel=self.sequence_kernel,
             step_kernel=self.step_kernel,
             mode=self.mode,

@@ -209,8 +209,14 @@ def mlstm_chunkwise_stabilized(
     qk_scale: float | None = None,
     return_last_states: bool = False,
     eps: float = 1e-6,
+    stopgrad_norm: bool = False,
 ):
     """Chunkwise mLSTM with exp input gate and running max-state.
+
+    ``stopgrad_norm`` detaches the denominator AND the max-stabilizers
+    (m states / m_comb) — the reference backward treats both as
+    constants (ref:triton/chunkwise/xl_chunk bw kernels), and the Pallas
+    custom VJP matches that convention.
 
     The exp() input gate can exceed 1, so a per-head running max ``m`` is
     carried across chunks and both C and n are stored relative to it
@@ -254,10 +260,12 @@ def mlstm_chunkwise_stabilized(
 
     vecA_max = vecA.max(axis=-1)  # (B, NH, NC)
 
+    sg = jax.lax.stop_gradient if stopgrad_norm else (lambda x: x)
+
     def step(carry, xs):
         C, n, m = carry
         g_k, amax_k, a_k, k_k, v_k = xs
-        m_new = jnp.maximum(g_k + m, amax_k)
+        m_new = sg(jnp.maximum(g_k + m, amax_k))
         gbar = jnp.exp(g_k + m - m_new)
         abar = jnp.exp(a_k - m_new[..., None])  # (B, NH, L)
         kbar = k_k * abar[..., None]
@@ -288,7 +296,7 @@ def mlstm_chunkwise_stabilized(
     d_max = logD.max(axis=-1)  # (B, NH, NC, L)
 
     b_inter = vecB + m_prev[..., None]  # (B, NH, NC, L)
-    m_comb = jnp.maximum(b_inter, d_max)
+    m_comb = sg(jnp.maximum(b_inter, d_max))
 
     matD = jnp.exp(logD - m_comb[..., None])
     matS = (
@@ -306,7 +314,7 @@ def mlstm_chunkwise_stabilized(
     den_raw = jnp.einsum(
         "bhnld,bhnd->bhnl", qbar, n_prev, preferred_element_type=f32
     ) + matSD.sum(-1)
-    den = jnp.maximum(jnp.abs(den_raw), jnp.exp(-m_comb))
+    den = sg(jnp.maximum(jnp.abs(den_raw), jnp.exp(-m_comb)))
     h = (num / (den[..., None] + eps)).reshape(B, NH, S, DHHV).astype(q.dtype)
 
     if return_last_states:

@@ -645,6 +645,18 @@ def mlstm_siging_chunkwise_pallas_v2_bsh(
     assert normalize, "unnormalized variant not implemented in the Pallas path"
     if qk_scale is None:
         qk_scale = (q.shape[-1] // num_heads) ** -0.5
+    S = q.shape[1]
+    # chunk-size policy (measured on v5e): a single chunk for short
+    # sequences (S=400: 0.25 ms vs 1.81 ms ragged-256), else the largest
+    # divisor of S within [target/2, target] (S=1600: L=400 0.78 ms vs
+    # L=512-ragged 1.19 ms); ragged masking only when no divisor exists.
+    if S <= 512:
+        chunk_size = S
+    elif S % chunk_size:
+        for c in range(chunk_size, chunk_size // 2 - 1, -1):
+            if S % c == 0:
+                chunk_size = c
+                break
     return _chunkwise_core_v2(
         q, k, v, i, f, c_initial, n_initial,
         num_heads, chunk_size, qk_scale, eps, compute_dtype,
