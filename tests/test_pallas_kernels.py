@@ -230,3 +230,66 @@ def test_pallas_exp_gate_grads_and_states(rng):
         np.asarray(jnp.concatenate([h1, h2], 2)), np.asarray(h_ref),
         atol=3e-5, rtol=1e-4,
     )
+
+
+def test_pallas_v2_bw_head_group_split(rng, monkeypatch):
+    """The dQKV head-group split path (G < NH, 5-D gate views) stays
+    grad-exact; on hardware it engages when VMEM budget forces it."""
+    from xlstm_yolo_tpu.ops.pallas import chunkwise_v2 as m
+
+    monkeypatch.setattr(m, "_bw_head_group", lambda NH, L, dqk, dhv: 2)
+    q, k, v, i, f = make_args(rng, B=2, NH=4, S=48, DHQK=16, DHHV=16)
+
+    def loss_v2(*a):
+        return (m.mlstm_siging_chunkwise_pallas_v2(
+            *a, chunk_size=16, compute_dtype=jnp.float32) ** 2).sum()
+
+    def loss_ref(*a):
+        return (mlstm_siging_chunkwise(*a, chunk_size=16, stopgrad_norm=True) ** 2).sum()
+
+    g_v2 = jax.grad(loss_v2, argnums=(0, 1, 2, 3, 4))(q, k, v, i, f)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, i, f)
+    for a, b, name in zip(g_ref, g_v2, "qkvif"):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-3, rtol=5e-3, err_msg=f"grad {name}"
+        )
+
+
+def test_pallas_quadratic_flash_matches_oracle(rng):
+    """Flash-style quadratic siging kernel (fw + custom-VJP bw) vs the
+    jnp oracle (ref: triton/parallel/limit_headdim fw/bw kernels)."""
+    from xlstm_yolo_tpu.ops.mlstm_parallel import mlstm_siging_parallel
+    from xlstm_yolo_tpu.ops.pallas.parallel import mlstm_siging_parallel_pallas as pp
+
+    q, k, v, i, f = make_args(rng, B=2, NH=3, S=64, DHQK=16, DHHV=16)
+    h_ref = mlstm_siging_parallel(q, k, v, i, f)
+    h_pl = pp(q, k, v, i, f, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(h_pl), np.asarray(h_ref), atol=3e-5, rtol=1e-4)
+
+    def lp(*a):
+        return (pp(*a, compute_dtype=jnp.float32) ** 2).sum()
+
+    def lr(*a):
+        return (mlstm_siging_parallel(*a, stopgrad_norm=True) ** 2).sum()
+
+    gp = jax.grad(lp, argnums=(0, 1, 2, 3, 4))(q, k, v, i, f)
+    gr = jax.grad(lr, argnums=(0, 1, 2, 3, 4))(q, k, v, i, f)
+    for a, b, name in zip(gr, gp, "qkvif"):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-4, rtol=1e-3, err_msg=f"grad {name}"
+        )
+
+
+def test_slstm_pallas_matches_scan(rng):
+    """Fused sLSTM Pallas scan == the lax.scan cell (the CUDA-extension
+    counterpart, ref:slstm/src/cuda/slstm_forward.cu)."""
+    from xlstm_yolo_tpu.nn.xlstm import sLSTMCell
+
+    x = jnp.asarray(rng.normal(size=(2, 24, 32)), jnp.float32)
+    cell = sLSTMCell(dim=32, num_heads=4)
+    variables = cell.init(jax.random.PRNGKey(0), x)
+    y_s, st_s = cell.apply(variables, x)
+    y_p, st_p = sLSTMCell(dim=32, num_heads=4, backend="pallas").apply(variables, x)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_s), atol=1e-5)
+    for a, b in zip(st_s, st_p):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)

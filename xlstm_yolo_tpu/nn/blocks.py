@@ -305,19 +305,22 @@ class ViLFusionBlock(nn.Module):
     training: bool = False
     chunkwise_kernel: str = "chunkwise--native_autograd"
     compute_dtype: Any = None
+    fused: bool = False  # in_proj/LSBlock convs carry folded-BN biases
 
     @nn.compact
     def __call__(self, x):
+        assert not (self.fused and self.training), "fused conv is eval-only"
         if self.c1 != self.dim:
-            x = nn.Conv(self.dim, (1, 1), use_bias=False, dtype=self.compute_dtype,
+            x = nn.Conv(self.dim, (1, 1), use_bias=self.fused, dtype=self.compute_dtype,
                         name="in_proj_conv")(x)
-            x = nn.BatchNorm(
-                use_running_average=not self.training, momentum=0.97, epsilon=1e-3,
-                dtype=self.compute_dtype, name="in_proj_bn",
-            )(x)
+            if not self.fused:
+                x = nn.BatchNorm(
+                    use_running_average=not self.training, momentum=0.97, epsilon=1e-3,
+                    dtype=self.compute_dtype, name="in_proj_bn",
+                )(x)
             x = nn.silu(x)
 
-        x_local = LSBlock(dim=self.dim, training=self.training,
+        x_local = LSBlock(dim=self.dim, training=self.training, fused=self.fused,
                           dtype=self.compute_dtype, name="lsblock")(x)
 
         B, H, W, C = x_local.shape

@@ -79,6 +79,7 @@ class Detect(nn.Module):
     # program (workaround: that stage co-compiled with Pallas custom
     # calls faults the TPU runtime at batch>1 — docs/KNOWN_ISSUES.md)
     decode_only: bool = False
+    fused: bool = False  # tower convs carry folded-BN biases (eval only)
 
     @property
     def no(self):
@@ -90,8 +91,8 @@ class Detect(nn.Module):
         c3 = max(self.ch[0], min(self.nc, 100))
         outs = []
         for i, x in enumerate(feats):
-            box = ConvBNAct(c2, 3, training=self.training, dtype=self.dtype, name=f"cv2{suffix}_{i}_0")(x)
-            box = ConvBNAct(c2, 3, training=self.training, dtype=self.dtype, name=f"cv2{suffix}_{i}_1")(box)
+            box = ConvBNAct(c2, 3, training=self.training, fused=self.fused, dtype=self.dtype, name=f"cv2{suffix}_{i}_0")(x)
+            box = ConvBNAct(c2, 3, training=self.training, fused=self.fused, dtype=self.dtype, name=f"cv2{suffix}_{i}_1")(box)
             box = nn.Conv(
                 4 * self.reg_max, (1, 1),
                 bias_init=nn.initializers.constant(1.0),
@@ -100,14 +101,14 @@ class Detect(nn.Module):
 
             cin = x.shape[-1]
             if self.legacy:
-                cls = ConvBNAct(c3, 3, training=self.training, dtype=self.dtype, name=f"cv3{suffix}_{i}_0")(x)
-                cls = ConvBNAct(c3, 3, training=self.training, dtype=self.dtype, name=f"cv3{suffix}_{i}_1")(cls)
+                cls = ConvBNAct(c3, 3, training=self.training, fused=self.fused, dtype=self.dtype, name=f"cv3{suffix}_{i}_0")(x)
+                cls = ConvBNAct(c3, 3, training=self.training, fused=self.fused, dtype=self.dtype, name=f"cv3{suffix}_{i}_1")(cls)
             else:
                 # light depthwise cls tower (head.py:208-218 / v10 at :805)
-                cls = ConvBNAct(cin, 3, g=cin, training=self.training, dtype=self.dtype, name=f"cv3{suffix}_{i}_0_0")(x)
-                cls = ConvBNAct(c3, 1, training=self.training, dtype=self.dtype, name=f"cv3{suffix}_{i}_0_1")(cls)
-                cls = ConvBNAct(c3, 3, g=c3, training=self.training, dtype=self.dtype, name=f"cv3{suffix}_{i}_1_0")(cls)
-                cls = ConvBNAct(c3, 1, training=self.training, dtype=self.dtype, name=f"cv3{suffix}_{i}_1_1")(cls)
+                cls = ConvBNAct(cin, 3, g=cin, training=self.training, fused=self.fused, dtype=self.dtype, name=f"cv3{suffix}_{i}_0_0")(x)
+                cls = ConvBNAct(c3, 1, training=self.training, fused=self.fused, dtype=self.dtype, name=f"cv3{suffix}_{i}_0_1")(cls)
+                cls = ConvBNAct(c3, 3, g=c3, training=self.training, fused=self.fused, dtype=self.dtype, name=f"cv3{suffix}_{i}_1_0")(cls)
+                cls = ConvBNAct(c3, 1, training=self.training, fused=self.fused, dtype=self.dtype, name=f"cv3{suffix}_{i}_1_1")(cls)
             # cls bias: log(5 / nc / (img/stride)^2)  (head.py:294-308)
             s = strides[i]
             bias_val = math.log(5 / self.nc / (self.img_size / s) ** 2)

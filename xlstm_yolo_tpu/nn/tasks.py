@@ -147,7 +147,8 @@ def _vil_config(args_cfg: dict) -> dict:
 
 
 def build_module(spec: dict, nc: int, training: bool, chunkwise_kernel: str,
-                 compute_dtype, img_size: int, decode_only: bool = False):
+                 compute_dtype, img_size: int, decode_only: bool = False,
+                 fused: bool = False):
     """Instantiate the flax module for one layer spec."""
     name, args, kw = spec["module"], spec["args"], spec["kwargs"]
     vilkw = dict(training=training, chunkwise_kernel=chunkwise_kernel,
@@ -172,7 +173,8 @@ def build_module(spec: dict, nc: int, training: bool, chunkwise_kernel: str,
         vc = _vil_config(cfg)
         drop_path = vc.pop("drop_path")
         return B.ViLFusionBlock(c1=c1, dim=c2, mlp_ratio=mlp_ratio,
-                                drop_path=drop_path, **vc, **vilkw, name=mname)
+                                drop_path=drop_path, fused=fused, **vc, **vilkw,
+                                name=mname)
     if name == "PatchMerger":
         dim, m_out = args
         return B.PatchMerger(dim=dim, num_tokens_out=m_out, name=mname)
@@ -188,12 +190,14 @@ def build_module(spec: dict, nc: int, training: bool, chunkwise_kernel: str,
         c2 = args[0]
         k = args[1] if len(args) > 1 else 1
         s = args[2] if len(args) > 2 else 1
-        return B.ConvBNAct(c2=c2, k=k, s=s, training=training, dtype=compute_dtype, name=mname)
+        return B.ConvBNAct(c2=c2, k=k, s=s, training=training, fused=fused,
+                           dtype=compute_dtype, name=mname)
     if name == "DWConv":
         c2 = args[0]
         k = args[1] if len(args) > 1 else 1
         s = args[2] if len(args) > 2 else 1
-        return B.DWConvBlock(c2=c2, k=k, s=s, training=training, dtype=compute_dtype, name=mname)
+        return B.DWConvBlock(c2=c2, k=k, s=s, training=training, fused=fused,
+                             dtype=compute_dtype, name=mname)
     if name == "C2f":
         c2 = args[0]
         shortcut = bool(args[1]) if len(args) > 1 else False
@@ -223,7 +227,7 @@ def build_module(spec: dict, nc: int, training: bool, chunkwise_kernel: str,
         cls = H.v10Detect if name == "v10Detect" else H.Detect
         return cls(nc=args[0] if args else nc, ch=kw["ch"], training=training,
                    img_size=img_size, dtype=compute_dtype, decode_only=decode_only,
-                   name=mname)
+                   fused=fused, name=mname)
     raise ValueError(f"no builder for module '{name}'")
 
 
@@ -258,12 +262,14 @@ class DetectionModel(nn.Module):
     compute_dtype: Any = None
     img_size: int = 640
     decode_only: bool = False
+    fused: bool = False  # eval-only: convs carry folded-BN biases
 
     def setup(self):
         self.layers = [
             build_module(
                 s, self.nc, self.training, self.chunkwise_kernel,
                 self.compute_dtype, self.img_size, self.decode_only,
+                self.fused,
             )
             for s in self.specs
         ]
@@ -296,6 +302,7 @@ def build_detection_model(
     chunkwise_kernel: str = DEFAULT_CHUNKWISE_KERNEL,
     compute_dtype=None,
     decode_only: bool = False,
+    fused: bool = False,
 ) -> tuple[DetectionModel, dict]:
     """Compile a model YAML into a DetectionModel (+ resolved cfg dict)."""
     d = yaml_model_load(cfg)
@@ -312,5 +319,6 @@ def build_detection_model(
         compute_dtype=compute_dtype,
         img_size=int(d.get("imgsz", 640)),
         decode_only=decode_only,
+        fused=fused,
     )
     return model, d

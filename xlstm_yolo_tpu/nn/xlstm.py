@@ -74,6 +74,7 @@ class sLSTMCell(nn.Module):
 
     dim: int
     num_heads: int = 4
+    backend: str = "scan"  # 'scan' (lax.scan) | 'pallas' (fused VMEM kernel)
 
     @nn.compact
     def __call__(self, x, state=None):
@@ -96,6 +97,12 @@ class sLSTMCell(nn.Module):
         h0, c0, n0, m0 = state
 
         wx_heads = wx.reshape(B, S, 4, NH, DH).astype(f32)
+
+        if self.backend == "pallas":
+            from xlstm_yolo_tpu.ops.pallas.slstm import slstm_sequence_pallas
+
+            hs, last = slstm_sequence_pallas(wx_heads, R, (h0, c0, n0, m0))
+            return hs.reshape(B, S, D).astype(x.dtype), last
 
         def step(carry, xt):
             h, c, nrm, m = carry  # (B, NH, DH) each

@@ -39,8 +39,12 @@ def mlstm_siging_parallel(
     eps: float = 1e-6,
     normalize: bool = True,
     stable_fgate: bool = True,
+    stopgrad_norm: bool = False,
 ) -> jax.Array:
     """mLSTM with sigmoid input gate, quadratic formulation.
+
+    ``stopgrad_norm`` detaches the max(|.|,1) denominator like the
+    reference backward kernels (for custom-VJP parity tests).
 
     D[l, j] = exp( sum_{t=j+1..l} logsig(f_t) + logsig(i_j) )   for j <= l
     S       = (q k^T) / sqrt(DHQK)
@@ -75,6 +79,8 @@ def mlstm_siging_parallel(
     mat_C = mat_S * mat_D
     if normalize:
         n = jnp.maximum(jnp.abs(mat_C.sum(-1, keepdims=True)), 1.0)
+        if stopgrad_norm:
+            n = jax.lax.stop_gradient(n)
         mat_C = mat_C / (n + eps)
 
     h = jnp.einsum("bhst,bhtd->bhsd", mat_C, v.astype(f32), preferred_element_type=f32)

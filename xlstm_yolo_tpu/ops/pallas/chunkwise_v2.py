@@ -443,18 +443,25 @@ def _bw_dqkv_kernel(
         dv_ref[0, :, h * DHHV : (h + 1) * DHHV] = dv.astype(dv_ref.dtype)
 
 
-def _bw_head_group(NH: int, L: int) -> int:
-    """Largest divisor of NH whose dQKV kernel fits scoped VMEM.
+def _bw_head_group(NH: int, L: int, DHQK: int, DHHV: int) -> int:
+    """Largest head-group whose dQKV kernel fits scoped VMEM.
 
     Empirically the dQKV kernel needs ~2.5 MB/head at L=512 (measured
     30 MB at 12 heads vs the 16 MB limit); budget 12 MB and scale by
-    the (L, L) transients.
+    the (L, L) transients.  Mosaic additionally requires the q/k/v block
+    minor dim (G*DH) to divide 128 or equal the full H — so candidate
+    groups are filtered to lane-legal ones.
     """
     per_head_mb = 2.5 * (L / 512) ** 2
-    g = NH
-    while g > 1 and g * per_head_mb > 12.0:
-        g = max(d for d in range(1, g) if NH % d == 0)
-    return g
+
+    def legal(g):
+        return g == NH or ((g * DHQK) % 128 == 0 and (g * DHHV) % 128 == 0)
+
+    cands = sorted((g for g in range(1, NH + 1) if NH % g == 0 and legal(g)), reverse=True)
+    for g in cands:
+        if g * per_head_mb <= 12.0:
+            return g
+    return cands[-1]
 
 
 def _bw(
@@ -471,7 +478,7 @@ def _bw(
     DHHV = v.shape[-1] // NH
     L = chunk_size
     NC = _cdiv(S, L)
-    G = _bw_head_group(NH, L)
+    G = _bw_head_group(NH, L, DHQK, DHHV)
     HG = NH // G
     if qk_scale is None:
         qk_scale = DHQK**-0.5
@@ -653,7 +660,9 @@ def mlstm_siging_chunkwise_pallas_v2_bsh(
     if S <= 512:
         chunk_size = S
     elif S % chunk_size:
-        for c in range(chunk_size, chunk_size // 2 - 1, -1):
+        # candidate divisors stay 8-aligned (Mosaic sublane constraint on
+        # the (L, H) blocks when the block doesn't span the whole S dim)
+        for c in range(chunk_size - chunk_size % 8, chunk_size // 2 - 1, -8):
             if S % c == 0:
                 chunk_size = c
                 break

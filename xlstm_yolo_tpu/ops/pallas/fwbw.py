@@ -13,3 +13,6 @@ register_kernel("step", "pallas", mlstm_siging_step_pallas)
 from xlstm_yolo_tpu.ops.pallas.chunkwise_exp import mlstm_chunkwise_exp_pallas
 
 register_kernel("chunkwise", "pallas_xl_chunk", mlstm_chunkwise_exp_pallas)
+from xlstm_yolo_tpu.ops.pallas.parallel import mlstm_siging_parallel_pallas
+
+register_kernel("parallel", "pallas_limit_headdim", mlstm_siging_parallel_pallas)
