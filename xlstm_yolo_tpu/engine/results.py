@@ -64,6 +64,93 @@ class Boxes:
         return self.xywh / np.array([w, h, w, h])
 
 
+class Masks:
+    """Instance masks container (parity: ref:engine/results.py:1004-1218).
+
+    ``data``: (N, H, W) float/bool masks in inference resolution."""
+
+    def __init__(self, data: np.ndarray, orig_shape: tuple[int, int]):
+        self.data = np.asarray(data)
+        self.orig_shape = orig_shape
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, idx):
+        return Masks(self.data[idx], self.orig_shape)
+
+    @property
+    def xy(self):
+        """Mask contours in pixel coords (list of (K, 2) arrays)."""
+        import cv2
+
+        out = []
+        for m in self.data:
+            cs, _ = cv2.findContours(
+                (np.asarray(m) > 0.5).astype(np.uint8), cv2.RETR_EXTERNAL,
+                cv2.CHAIN_APPROX_SIMPLE)
+            out.append(max(cs, key=cv2.contourArea).reshape(-1, 2).astype(np.float32)
+                       if cs else np.zeros((0, 2), np.float32))
+        return out
+
+    @property
+    def xyn(self):
+        h, w = self.orig_shape
+        return [c / np.array([w, h], np.float32) for c in self.xy]
+
+
+class Keypoints:
+    """Keypoints container (parity: ref:engine/results.py:1222-1318).
+
+    ``data``: (N, K, 2|3) image-space keypoints (x, y[, conf])."""
+
+    def __init__(self, data: np.ndarray, orig_shape: tuple[int, int]):
+        self.data = np.asarray(data)
+        self.orig_shape = orig_shape
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, idx):
+        return Keypoints(self.data[idx], self.orig_shape)
+
+    @property
+    def xy(self):
+        return self.data[..., :2]
+
+    @property
+    def xyn(self):
+        h, w = self.orig_shape
+        return self.data[..., :2] / np.array([w, h], np.float32)
+
+    @property
+    def conf(self):
+        return self.data[..., 2] if self.data.shape[-1] == 3 else None
+
+
+class Probs:
+    """Classification probabilities container (parity: ref:results.py:1444)."""
+
+    def __init__(self, data: np.ndarray):
+        self.data = np.asarray(data)
+
+    @property
+    def top1(self):
+        return int(self.data.argmax())
+
+    @property
+    def top5(self):
+        return np.argsort(-self.data)[:5].tolist()
+
+    @property
+    def top1conf(self):
+        return float(self.data.max())
+
+    @property
+    def top5conf(self):
+        return self.data[self.top5]
+
+
 @dataclass
 class Results:
     """One image's predictions (parity: results.py:187-1000)."""
@@ -72,17 +159,28 @@ class Results:
     path: str
     names: dict
     boxes: Boxes | None = None
+    masks: Masks | None = None
+    keypoints: Keypoints | None = None
+    probs: Probs | None = None
     speed: dict = field(default_factory=dict)
 
     def __len__(self):
         return len(self.boxes) if self.boxes is not None else 0
 
     def __getitem__(self, idx):
-        return Results(self.orig_img, self.path, self.names, self.boxes[idx], self.speed)
+        return Results(self.orig_img, self.path, self.names, self.boxes[idx],
+                       self.masks[idx] if self.masks is not None else None,
+                       self.keypoints[idx] if self.keypoints is not None else None,
+                       self.probs, self.speed)
 
-    def update(self, boxes: np.ndarray | None = None):
+    def update(self, boxes: np.ndarray | None = None, masks: np.ndarray | None = None,
+               keypoints: np.ndarray | None = None):
         if boxes is not None:
             self.boxes = Boxes(boxes, self.orig_img.shape[:2])
+        if masks is not None:
+            self.masks = Masks(masks, self.orig_img.shape[:2])
+        if keypoints is not None:
+            self.keypoints = Keypoints(keypoints, self.orig_img.shape[:2])
         return self
 
     def cpu(self):

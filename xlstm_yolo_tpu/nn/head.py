@@ -166,3 +166,113 @@ class v10Detect(Detect):
     """
 
     end2end: bool = True
+
+
+class Proto(nn.Module):
+    """Mask prototype net (parity: ref:nn/modules/block.py:211-228):
+    Conv -> 2x ConvTranspose upsample -> Conv -> 1x1 to nm masks.  NHWC."""
+
+    npr: int = 256
+    nm: int = 32
+    training: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        y = ConvBNAct(self.npr, 3, training=self.training, dtype=self.dtype, name="cv1")(x)
+        y = nn.ConvTranspose(self.npr, (2, 2), strides=(2, 2), name="upsample")(y)
+        y = ConvBNAct(self.npr, 3, training=self.training, dtype=self.dtype, name="cv2")(y)
+        return ConvBNAct(self.nm, 1, training=self.training, dtype=self.dtype, name="cv3")(y)
+
+
+class Segment(Detect):
+    """Segmentation head (parity: ref:nn/modules/head.py:336-359).
+
+    Adds a prototype net on the highest-resolution level and a mask-
+    coefficient tower per level.  Training returns
+    (det_maps, mask_coeffs (B, A, nm), proto (B, Hm, Wm, nm)); eval
+    returns (decoded_with_coeffs (B, A, 4+nc+nm), aux).
+    """
+
+    nm: int = 32
+    npr: int = 256
+
+    def _mask_coeffs(self, feats):
+        c4 = max(self.ch[0] // 4, self.nm)
+        outs = []
+        for i, x in enumerate(feats):
+            mc = ConvBNAct(c4, 3, training=self.training, fused=self.fused,
+                           dtype=self.dtype, name=f"cv4_{i}_0")(x)
+            mc = ConvBNAct(c4, 3, training=self.training, fused=self.fused,
+                           dtype=self.dtype, name=f"cv4_{i}_1")(mc)
+            mc = nn.Conv(self.nm, (1, 1), name=f"cv4_{i}_2")(mc)
+            outs.append(mc.reshape(mc.shape[0], -1, self.nm))
+        return jnp.concatenate(outs, axis=1)  # (B, A, nm)
+
+    @nn.compact
+    def __call__(self, feats: list, img_hw: tuple[int, int] | None = None):
+        ih = img_hw[0] if img_hw else self.img_size
+        strides = tuple(ih / x.shape[1] for x in feats)
+        proto = Proto(npr=self.npr, nm=self.nm, training=self.training,
+                      dtype=self.dtype, name="proto")(feats[0])
+        mc = self._mask_coeffs(feats)
+        one2many = self._branches(feats, strides, suffix="")
+        if self.training:
+            return {"one2many": one2many, "mask_coeffs": mc, "proto": proto}
+        y = self._decode(one2many, strides)
+        return jnp.concatenate([y, mc.astype(y.dtype)], axis=-1), {
+            "one2many": one2many, "mask_coeffs": mc, "proto": proto,
+        }
+
+
+class Pose(Detect):
+    """Pose head (parity: ref:nn/modules/head.py:391-440).
+
+    Keypoint tower per level; decode: xy = kpt[..., :2] * 2 + anchor - 0.5,
+    scaled by stride; visibility sigmoid on dim 3.  Training returns
+    (det_maps, raw kpts (B, A, nk)); eval returns decoded concat.
+    """
+
+    kpt_shape: tuple[int, int] = (17, 3)
+
+    def _kpt_tower(self, feats):
+        nk = self.kpt_shape[0] * self.kpt_shape[1]
+        c4 = max(self.ch[0] // 4, nk)
+        outs = []
+        for i, x in enumerate(feats):
+            k = ConvBNAct(c4, 3, training=self.training, fused=self.fused,
+                          dtype=self.dtype, name=f"cv4_{i}_0")(x)
+            k = ConvBNAct(c4, 3, training=self.training, fused=self.fused,
+                          dtype=self.dtype, name=f"cv4_{i}_1")(k)
+            k = nn.Conv(nk, (1, 1), name=f"cv4_{i}_2")(k)
+            outs.append(k.reshape(k.shape[0], -1, nk))
+        return jnp.concatenate(outs, axis=1)  # (B, A, nk)
+
+    @nn.compact
+    def __call__(self, feats: list, img_hw: tuple[int, int] | None = None):
+        ih = img_hw[0] if img_hw else self.img_size
+        strides = tuple(ih / x.shape[1] for x in feats)
+        kpts = self._kpt_tower(feats)
+        one2many = self._branches(feats, strides, suffix="")
+        if self.training:
+            return {"one2many": one2many, "kpts": kpts}
+        y = self._decode(one2many, strides)
+        feat_shapes = [m.shape[1:3] for m in feats]
+        anchors, stride_t = make_anchors(feat_shapes, strides, 0.5)
+        dec = pose_decode(kpts, anchors, stride_t, self.kpt_shape)
+        B = y.shape[0]
+        return jnp.concatenate([y, dec.reshape(B, dec.shape[1], -1).astype(y.dtype)], -1), {
+            "one2many": one2many, "kpts": kpts,
+        }
+
+
+def pose_decode(kpts, anchors, stride_t, kpt_shape):
+    """(B, A, nk) raw -> (B, A, K, ndim) image-space keypoints
+    (parity: ref:head.py kpts_decode)."""
+    B, A, _ = kpts.shape
+    K, nd = kpt_shape
+    k = kpts.reshape(B, A, K, nd).astype(f32)
+    xy = (k[..., :2] * 2.0 + (anchors[None, :, None, :] - 0.5)) * stride_t[None, :, None, :]
+    if nd == 3:
+        return jnp.concatenate([xy, jax.nn.sigmoid(k[..., 2:3])], axis=-1)
+    return xy

@@ -120,7 +120,7 @@ def parse_model_specs(d: dict, ch: int = 3, scale: str | None = None):
             c2 = ch_list[f]
         elif name == "Concat":
             c2 = sum(ch_list[x] for x in f)
-        elif name in {"Detect", "v10Detect"}:
+        elif name in {"Detect", "v10Detect", "Segment", "Pose"}:
             kwargs["ch"] = tuple(ch_list[x] for x in f)
             c2 = None
         else:
@@ -228,6 +228,17 @@ def build_module(spec: dict, nc: int, training: bool, chunkwise_kernel: str,
         return cls(nc=args[0] if args else nc, ch=kw["ch"], training=training,
                    img_size=img_size, dtype=compute_dtype, decode_only=decode_only,
                    fused=fused, name=mname)
+    if name == "Segment":
+        nm = args[1] if len(args) > 1 else 32
+        npr = args[2] if len(args) > 2 else 256
+        return H.Segment(nc=args[0] if args else nc, nm=nm, npr=npr, ch=kw["ch"],
+                         training=training, img_size=img_size, dtype=compute_dtype,
+                         fused=fused, name=mname)
+    if name == "Pose":
+        kpt = tuple(args[1]) if len(args) > 1 else (17, 3)
+        return H.Pose(nc=args[0] if args else nc, kpt_shape=kpt, ch=kw["ch"],
+                      training=training, img_size=img_size, dtype=compute_dtype,
+                      fused=fused, name=mname)
     raise ValueError(f"no builder for module '{name}'")
 
 
@@ -284,7 +295,7 @@ class DetectionModel(nn.Module):
                 inp = out if f == -1 else saved[f]
             else:
                 inp = [out if j == -1 else saved[j] for j in f]
-            if spec["module"] in {"Detect", "v10Detect"}:
+            if spec["module"] in {"Detect", "v10Detect", "Segment", "Pose"}:
                 out = layer(inp, img_hw=img_hw)
             else:
                 out = layer(inp)

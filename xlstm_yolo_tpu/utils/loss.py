@@ -60,11 +60,14 @@ def v8_detection_loss(
     box_gain: float = 7.5,
     cls_gain: float = 0.5,
     dfl_gain: float = 1.5,
+    return_aux: bool = False,
 ):
     """One v8 detection loss over a feature pyramid.
 
     Returns (total_loss_scalar, LossItems) — total is already scaled by
     batch size (parity: loss.py:260 returns loss.sum() * batch_size).
+    With ``return_aux`` additionally returns the assignment and anchor
+    geometry (for the seg/pose losses that extend this one).
     """
     B = feats[0].shape[0]
     no = nc + reg_max * 4
@@ -113,6 +116,10 @@ def v8_detection_loss(
 
     items = LossItems(loss_box * box_gain, loss_cls * cls_gain, loss_dfl * dfl_gain)
     total = (items.box + items.cls + items.dfl) * B
+    if return_aux:
+        aux = dict(assign=assign, anchor_points=anchor_points, stride_t=stride_t,
+                   tss=tss, weight=weight)
+        return total, items, aux
     return total, items
 
 
@@ -134,3 +141,138 @@ def e2e_detect_loss(
     )
     items = LossItems(*(a + b for a, b in zip(it_m, it_o)))
     return l_m + l_o, items
+
+
+# OKS sigmas for the 17 COCO keypoints (parity: ref:utils/loss.py OKS_SIGMA)
+OKS_SIGMA = jnp.asarray(
+    [0.26, 0.25, 0.25, 0.35, 0.35, 0.79, 0.79, 0.72, 0.72, 0.62, 0.62,
+     1.07, 1.07, 0.87, 0.87, 0.89, 0.89], f32) / 10.0
+
+
+def _crop_mask_loss(loss_map, xyxy):
+    """Zero the per-pixel loss outside the (mask-space) gt box.
+
+    loss_map: (..., Hm, Wm); xyxy: (..., 4).  Parity: ref utils/ops.crop_mask.
+    """
+    Hm, Wm = loss_map.shape[-2:]
+    r = jnp.arange(Wm, dtype=f32)[None, :]
+    c = jnp.arange(Hm, dtype=f32)[:, None]
+    x1, y1, x2, y2 = (xyxy[..., i][..., None, None] for i in range(4))
+    inside = (r >= x1) & (r < x2) & (c >= y1) & (c < y2)
+    return loss_map * inside
+
+
+def v8_segmentation_loss(
+    preds: dict,  # {'one2many': feats, 'mask_coeffs': (B, A, nm), 'proto': (B, Hm, Wm, nm)}
+    gt_labels, gt_bboxes, mask_gt,
+    gt_masks,  # (B, M, Hm, Wm) float {0,1} at proto resolution
+    strides, img_size: int, nc: int = 80,
+    seg_k: int = 256, **kw,
+):
+    """v8 segmentation loss, fixed shapes (parity: ref:utils/loss.py:263-444).
+
+    The reference computes the mask BCE only on the ragged set of
+    foreground anchors; here a static top-``seg_k`` selection over
+    fg-weighted anchors bounds the per-anchor mask tensor to
+    (B, K, Hm, Wm) — anchors beyond K (rare: K >= topk * M in practice)
+    are dropped from the mask term only.
+    """
+    feats = preds["one2many"]
+    mc = preds["mask_coeffs"].astype(f32)
+    proto = preds["proto"].astype(f32)  # (B, Hm, Wm, nm)
+    B, Hm, Wm, nm = proto.shape
+
+    total, items, aux = v8_detection_loss(
+        feats, gt_labels, gt_bboxes, mask_gt, strides, nc=nc,
+        return_aux=True, **kw,
+    )
+    assign = aux["assign"]
+    fg = assign.fg_mask.astype(f32)  # (B, A)
+
+    # static top-K foreground anchors per image
+    K = min(seg_k, fg.shape[1])
+    score = fg * (assign.target_scores.sum(-1) + 1e-6)
+    topv, topi = jax.lax.top_k(score, K)  # (B, K)
+    valid = topv > 0  # (B, K)
+
+    mc_k = jnp.take_along_axis(mc, topi[..., None], axis=1)  # (B, K, nm)
+    gt_idx = jnp.take_along_axis(assign.target_gt_idx, topi, axis=1)  # (B, K)
+    tb = jnp.take_along_axis(assign.target_bboxes, topi[..., None], axis=1)  # (B, K, 4) img units
+
+    # per-anchor gt mask + mask-space box
+    gmask = jnp.take_along_axis(
+        gt_masks.astype(f32), gt_idx[..., None, None], axis=1
+    )  # (B, K, Hm, Wm)
+    scale = jnp.asarray([Wm, Hm, Wm, Hm], f32) / img_size
+    mxyxy = tb * scale
+    area = jnp.maximum(
+        (mxyxy[..., 2] - mxyxy[..., 0]) * (mxyxy[..., 3] - mxyxy[..., 1]), 1.0
+    ) / (Hm * Wm)  # normalized area (parity: xywh prod of 0-1 boxes)
+
+    pred_mask = jnp.einsum("bkn,bhwn->bkhw", mc_k, proto, preferred_element_type=f32)
+    bce = _bce_logits(pred_mask, gmask)
+    per_anchor = _crop_mask_loss(bce, mxyxy).mean((-2, -1)) / area  # (B, K)
+    fg_sum = jnp.maximum(fg.sum(), 1.0)
+    loss_seg = (per_anchor * valid).sum() / fg_sum
+
+    box_gain = kw.get("box_gain", 7.5)
+    total = total + loss_seg * box_gain * B
+    return total, items, loss_seg * box_gain
+
+
+def v8_pose_loss(
+    preds: dict,  # {'one2many': feats, 'kpts': (B, A, nk)}
+    gt_labels, gt_bboxes, mask_gt,
+    gt_kpts,  # (B, M, K, 3) image-space keypoints (x, y, vis)
+    strides, nc: int = 80,
+    kpt_shape=(17, 3), pose_gain: float = 12.0, kobj_gain: float = 1.0, **kw,
+):
+    """v8 pose loss, fixed shapes (parity: ref:utils/loss.py:446-560).
+
+    OKS-weighted keypoint location loss + visibility BCE over all
+    anchors with the foreground mask applied (no ragged gathers).
+    """
+    from xlstm_yolo_tpu.nn.head import pose_decode
+
+    feats = preds["one2many"]
+    kpts = preds["kpts"]
+    Knum, nd = kpt_shape
+
+    total, items, aux = v8_detection_loss(
+        feats, gt_labels, gt_bboxes, mask_gt, strides, nc=nc,
+        return_aux=True, **kw,
+    )
+    assign = aux["assign"]
+    fg = assign.fg_mask.astype(f32)  # (B, A)
+    anchor_points, stride_t = aux["anchor_points"], aux["stride_t"]
+
+    pred_kpts = pose_decode(kpts, anchor_points, stride_t, kpt_shape)  # (B, A, K, nd) image units
+    gt_k = jnp.take_along_axis(
+        gt_kpts.astype(f32), assign.target_gt_idx[..., None, None], axis=1
+    )  # (B, A, K, 3)
+    kpt_mask = (gt_k[..., 2] > 0).astype(f32)  # (B, A, K)
+
+    area = jnp.maximum(
+        (assign.target_bboxes[..., 2] - assign.target_bboxes[..., 0])
+        * (assign.target_bboxes[..., 3] - assign.target_bboxes[..., 1]), 1.0
+    )  # (B, A) image-unit area
+
+    d = ((pred_kpts[..., 0] - gt_k[..., 0]) ** 2 + (pred_kpts[..., 1] - gt_k[..., 1]) ** 2)
+    e = d / ((2 * OKS_SIGMA[:Knum]) ** 2 * (area[..., None] + 1e-9) * 2)
+    n_vis = jnp.maximum(kpt_mask.sum(-1), 1e-9)
+    factor = Knum / n_vis  # (B, A)
+    loc = (factor[..., None] * (1.0 - jnp.exp(-e)) * kpt_mask).mean(-1)  # (B, A)
+    fg_sum = jnp.maximum(fg.sum(), 1.0)
+    loss_kpt = (loc * fg).sum() / fg_sum
+
+    if nd == 3:
+        vis_bce = _bce_logits(
+            kpts.reshape(*kpts.shape[:2], Knum, nd)[..., 2].astype(f32), kpt_mask
+        ).mean(-1)
+        loss_kobj = (vis_bce * fg).sum() / fg_sum
+    else:
+        loss_kobj = jnp.zeros((), f32)
+
+    B = feats[0].shape[0]
+    total = total + (loss_kpt * pose_gain + loss_kobj * kobj_gain) * B
+    return total, items, (loss_kpt * pose_gain, loss_kobj * kobj_gain)
