@@ -1,8 +1,13 @@
 """End-to-end inference benchmark on the flagship 640px ViL-YOLO model.
 
 Measures images/sec/chip for the jitted predict program: on-device
-uint8->float normalize, full backbone+FPN forward (bf16 compute), DFL
-decode and NMS-free topk postprocess.  Prints ONE JSON line.
+uint8->float normalize, full backbone+FPN forward (bf16 compute, BN
+folded into convs), DFL decode and NMS-free topk postprocess.  Inputs
+are device-generated batches (host JPEG decode/letterbox are NOT in the
+measured path — see utils/benchmarks for the loader-inclusive path).
+Prints ONE JSON line, including the model-level MFU (achieved FLOP/s
+from XLA's cost analysis of this exact program over the chip's bf16
+peak).
 
 Measurement protocol (the terminal talks to the TPU through a relay):
 - per-iteration host sync would measure round-trip latency (~24 ms),
@@ -32,11 +37,19 @@ ITERS = 16
 
 def main():
     from xlstm_yolo_tpu.nn.tasks import build_detection_model
+    from xlstm_yolo_tpu.utils.fuse import fuse_variables
+    from xlstm_yolo_tpu.utils.model_utils import get_flops
+    from xlstm_yolo_tpu.utils.roofline import detect_chip, model_mfu
 
-    model, _ = build_detection_model(CFG, compute_dtype=jnp.bfloat16)
+    model_init, _ = build_detection_model(CFG, compute_dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     img_f = jnp.zeros((BATCH, 640, 640, 3), jnp.float32)
-    variables = jax.jit(model.init)(rng, img_f)
+    variables = jax.jit(model_init.init)(rng, img_f)
+    # eval-mode BN folding (fuse_conv_and_bn parity)
+    fused_vars = jax.tree.map(
+        jnp.asarray, fuse_variables(jax.tree.map(np.asarray, variables))
+    )
+    model, _ = build_detection_model(CFG, compute_dtype=jnp.bfloat16, fused=True)
 
     @jax.jit
     def predict(variables, img_u8):
@@ -54,13 +67,19 @@ def main():
     _ = np.asarray(batches[-1][0, 0, 0])  # force materialization
 
     for b in batches[:WARMUP]:
-        np.asarray(predict(variables, b))  # true sync via host fetch
+        np.asarray(predict(fused_vars, b))  # true sync via host fetch
 
     t0 = time.perf_counter()
-    outs = [predict(variables, b) for b in batches[WARMUP:]]
+    outs = [predict(fused_vars, b) for b in batches[WARMUP:]]
     _ = np.asarray(outs[-1])  # device executes in order: barrier for all
     dt = time.perf_counter() - t0
     ips = BATCH * ITERS / dt
+    sec_per_batch = dt / ITERS
+
+    gflops = get_flops(
+        lambda v, x: predict(v, x), fused_vars, batches[0]
+    )  # GFLOPs of the exact compiled program (one batch)
+    mfu = model_mfu(sec_per_batch, gflops * 1e9) if gflops > 0 else -1.0
 
     base_file = REPO / "BENCH_BASELINE.json"
     vs = 1.0
@@ -72,10 +91,13 @@ def main():
         except Exception:
             pass
     print(json.dumps({
-        "metric": "e2e predict images/sec/chip @640px (batch8, bf16, on-device pre+post)",
+        "metric": "e2e predict images/sec/chip @640px (batch8, bf16 fused-BN, device-resident inputs, decode+topk on device)",
         "value": round(ips, 2),
         "unit": "img/s",
         "vs_baseline": vs,
+        "mfu": round(mfu, 4),
+        "gflops_per_batch": round(gflops, 1),
+        "chip": detect_chip(),
     }))
 
 

@@ -1,0 +1,161 @@
+"""Conv zoo long tail + ViL extras + seg/pose heads: build/shape/fusion tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def x_img(rng):
+    return jnp.asarray(rng.normal(size=(2, 16, 16, 64)), jnp.float32)
+
+
+def test_conv_zoo_shapes(rng, x_img):
+    from xlstm_yolo_tpu.nn import blocks as B
+
+    cases = [
+        (B.Focus(c2=32), (2, 8, 8, 32)),
+        (B.GhostConv(c2=64, k=3), (2, 16, 16, 64)),
+        (B.GhostBottleneck(c2=64), (2, 16, 16, 64)),
+        (B.GhostBottleneck(c2=96, s=2), (2, 8, 8, 96)),
+        (B.RepConv(c2=64), (2, 16, 16, 64)),
+        (B.SCDown(c2=96), (2, 8, 8, 96)),
+        (B.PSA(c2=64), (2, 16, 16, 64)),
+    ]
+    for mod, want in cases:
+        v = mod.init(jax.random.PRNGKey(0), x_img)
+        assert mod.apply(v, x_img).shape == want, type(mod).__name__
+
+
+def test_repconv_deploy_fusion(rng, x_img):
+    """Three-branch RepConv == single fused 3x3 conv (get_equivalent_kernel_bias
+    parity, ref:nn/modules/conv.py:206-233)."""
+    from xlstm_yolo_tpu.nn import blocks as B
+
+    m = B.RepConv(c2=64, use_id_bn=True)
+    v = jax.tree.map(np.asarray, m.init(jax.random.PRNGKey(1), x_img))
+    for br in ("conv1", "conv2", "bn"):
+        key = "bn" if br == "bn" else "bn"
+        node = v["batch_stats"][br] if br == "bn" else v["batch_stats"][br]["bn"]
+        node["mean"] = rng.normal(size=64).astype(np.float32) * 0.2
+        node["var"] = rng.uniform(0.5, 2.0, 64).astype(np.float32)
+    y_ref = m.apply(jax.tree.map(jnp.asarray, v), x_img)
+    fused = B.repconv_fuse(v["params"], v["batch_stats"])
+    y_f = B.RepConv(c2=64, deploy=True).apply(
+        {"params": jax.tree.map(jnp.asarray, fused)}, x_img
+    )
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_ref), atol=1e-4)
+
+
+def test_vil_extras_shapes(rng):
+    from xlstm_yolo_tpu.nn import vil_extras as V
+
+    x = jnp.asarray(rng.normal(size=(2, 16, 32)), jnp.float32)
+    lhe = V.LinearHeadwiseExpand(dim=32, num_heads=4, expand_factor=2)
+    v = lhe.init(jax.random.PRNGKey(0), x)
+    assert lhe.apply(v, x).shape == (2, 16, 64)
+    # block-diagonal semantics: head h of the output only sees head h input
+    w = np.asarray(v["params"]["weight"])  # (NH, d_out, d_in)
+    xs = np.asarray(x)
+    y = np.asarray(lhe.apply(v, x))
+    manual = np.einsum("bsnd,nod->bsno", xs.reshape(2, 16, 4, 8), w).reshape(2, 16, 64)
+    np.testing.assert_allclose(y, manual, atol=1e-5)
+
+    pm = V.PatchMerge(input_seqlens=(4, 4), out_dim=64)
+    vp = pm.init(jax.random.PRNGKey(0), x)
+    assert pm.apply(vp, x).shape == (2, 4, 64)
+
+    hv = V.HierarchicalVisionLSTM(
+        resolution=(64, 64), patch_size=16, base_dim=32,
+        num_groups=2, local_depth=1, num_classes=10,
+    )
+    img = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    vv = hv.init(jax.random.PRNGKey(0), img)
+    assert hv.apply(vv, img).shape == (2, 10)
+
+
+def test_seg_pose_heads_and_losses(rng):
+    """Tiny seg/pose configs build, losses are finite with nonzero grads
+    (the 'one config trains a step' foundation check)."""
+    import optax
+
+    from xlstm_yolo_tpu.nn.tasks import build_detection_model
+    from xlstm_yolo_tpu.utils.loss import v8_pose_loss, v8_segmentation_loss
+
+    B, M = 2, 8
+    img = jnp.zeros((B, 160, 160, 3), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    gt_labels = jnp.zeros((B, M), jnp.int32)
+    gt_bboxes = jnp.tile(jnp.asarray([10.0, 10.0, 80.0, 90.0]), (B, M, 1))
+    mask_gt = jnp.ones((B, M), bool).at[:, 4:].set(False)
+
+    m, _ = build_detection_model(
+        "xlstm_yolo_tpu/cfg/models/vil-det-tiny-seg.yaml", training=True, nc=2
+    )
+    v = jax.jit(m.init)({"params": key, "droppath": key}, img)
+    out, _ = m.apply(v, img, mutable=["batch_stats"], rngs={"droppath": key})
+    Hm, Wm = out["proto"].shape[1:3]
+    gt_masks = jnp.zeros((B, M, Hm, Wm)).at[:, :, 4:20, 4:16].set(1.0)
+    strides = [160 / f.shape[1] for f in out["one2many"]]
+
+    def seg_loss(params):
+        o, _ = m.apply({"params": params, "batch_stats": v["batch_stats"]}, img,
+                       mutable=["batch_stats"], rngs={"droppath": key})
+        t, _, _ = v8_segmentation_loss(
+            o, gt_labels, gt_bboxes, mask_gt, gt_masks, strides, img_size=160, nc=2)
+        return t
+
+    l, g = jax.value_and_grad(seg_loss)(v["params"])
+    assert np.isfinite(float(l)) and float(optax.global_norm(g)) > 0
+
+    mp, _ = build_detection_model(
+        "xlstm_yolo_tpu/cfg/models/vil-det-tiny-pose.yaml", training=True, nc=2
+    )
+    vp = jax.jit(mp.init)({"params": key, "droppath": key}, img)
+    gt_kpts = jnp.concatenate(
+        [jax.random.uniform(key, (B, M, 17, 2)) * 160, jnp.ones((B, M, 17, 1))], -1
+    )
+
+    def pose_loss(params):
+        o, _ = mp.apply({"params": params, "batch_stats": vp["batch_stats"]}, img,
+                        mutable=["batch_stats"], rngs={"droppath": key})
+        t, _, _ = v8_pose_loss(o, gt_labels, gt_bboxes, mask_gt, gt_kpts, strides, nc=2)
+        return t
+
+    lp, gp = jax.value_and_grad(pose_loss)(vp["params"])
+    assert np.isfinite(float(lp)) and float(optax.global_norm(gp)) > 0
+
+
+def test_mosaic9_and_copypaste(rng, tmp_path):
+    import random
+
+    import cv2
+    import yaml
+
+    from xlstm_yolo_tpu.cfg import get_cfg
+    from xlstm_yolo_tpu.data.augment import CopyPaste, Mosaic
+    from xlstm_yolo_tpu.data.dataset import YOLODataset
+
+    (tmp_path / "images" / "train").mkdir(parents=True)
+    (tmp_path / "labels" / "train").mkdir(parents=True)
+    r = random.Random(0)
+    for i in range(4):
+        im = np.full((120, 160, 3), 90, np.uint8)
+        cv2.rectangle(im, (20, 20), (60, 70), (0, 0, 255), -1)
+        cv2.imwrite(str(tmp_path / "images" / "train" / f"{i}.jpg"), im)
+        (tmp_path / "labels" / "train" / f"{i}.txt").write_text(
+            "0 0.25 0.375 0.25 0.4167"
+        )
+    cfg = get_cfg(overrides={"imgsz": 128, "max_targets": 16})
+    ds = YOLODataset(str(tmp_path / "images" / "train"), imgsz=128, augment=True,
+                     hyp=cfg, max_targets=16, cache="disk")
+    img9, b9, c9 = Mosaic(ds, 128, n=9)(0, r)
+    assert img9.shape == (256, 256, 3)
+    assert (b9[:, 2:] >= b9[:, :2]).all()
+
+    im, b, c = ds.load_for_mosaic(0, 128)
+    i2, b2, c2 = CopyPaste(p=1.0)(im, b, c, random.Random(1))
+    assert len(b2) >= len(b)
+    # disk cache sidecar written and reused
+    assert (tmp_path / "images" / "train" / "0.npy").exists()

@@ -201,15 +201,21 @@ def _box_candidates(box1, box2, wh_thr=2, ar_thr=100, area_thr=0.1, eps=1e-16):
 
 
 class Mosaic:
-    """4-image mosaic into a 2x(imgsz) canvas (parity: augment.py:490-705)."""
+    """4- or 9-image mosaic (parity: augment.py:490-705, incl. the 3x3
+    ``n=9`` grid at :560)."""
 
-    def __init__(self, dataset, imgsz: int = 640, p: float = 1.0, pad_value: int = 114):
+    def __init__(self, dataset, imgsz: int = 640, p: float = 1.0, pad_value: int = 114,
+                 n: int = 4):
+        assert n in (4, 9), f"mosaic grid must be 4 or 9, got {n}"
         self.dataset = dataset
         self.imgsz = imgsz
         self.p = p
         self.pad_value = pad_value
+        self.n = n
 
     def __call__(self, index: int, rng: random.Random):
+        if self.n == 9:
+            return self._mosaic9(index, rng)
         s = self.imgsz
         yc = int(rng.uniform(s // 2, 2 * s - s // 2))
         xc = int(rng.uniform(s // 2, 2 * s - s // 2))
@@ -245,6 +251,114 @@ class Mosaic:
         bboxes[:, [1, 3]] = bboxes[:, [1, 3]].clip(0, 2 * s)
         return img4, bboxes, cls
 
+    def _mosaic9(self, index: int, rng: random.Random):
+        """3x3 grid around a center tile, cropped to (2s, 2s)
+        (parity: ref:data/augment.py:560-630)."""
+        s = self.imgsz
+        indices = [index] + [rng.randrange(len(self.dataset)) for _ in range(8)]
+        img9 = np.full((s * 3, s * 3, 3), self.pad_value, dtype=np.uint8)
+        hp = wp = -1  # height/width of previous tile
+        boxes9, cls9 = [], []
+        for i, idx in enumerate(indices):
+            img, bboxes, cls = self.dataset.load_for_mosaic(idx, s)
+            h, w = img.shape[:2]
+            if i == 0:  # center
+                c = s, s, s + w, s + h
+                h0, w0 = h, w
+            elif i == 1:  # top
+                c = s, s - h, s + w, s
+            elif i == 2:  # top right
+                c = s + wp, s - h, s + wp + w, s
+            elif i == 3:  # right
+                c = s + w0, s, s + w0 + w, s + h
+            elif i == 4:  # bottom right
+                c = s + w0, s + hp, s + w0 + w, s + hp + h
+            elif i == 5:  # bottom
+                c = s + w0 - w, s + h0, s + w0, s + h0 + h
+            elif i == 6:  # bottom left
+                c = s + w0 - wp - w, s + h0, s + w0 - wp, s + h0 + h
+            elif i == 7:  # left
+                c = s - w, s + h0 - h, s, s + h0
+            else:  # top left
+                c = s - w, s + h0 - hp - h, s, s + h0 - hp
+            padw, padh = c[:2]
+            x1, y1, x2, y2 = (max(x, 0) for x in c)
+            img9[y1:y2, x1:x2] = img[y1 - padh :, x1 - padw :][: y2 - y1, : x2 - x1]
+            hp, wp = h, w
+            if len(bboxes):
+                b = bboxes.copy()
+                b[:, [0, 2]] += padw
+                b[:, [1, 3]] += padh
+                boxes9.append(b)
+                cls9.append(cls)
+        # crop the center (2s, 2s) window like the reference
+        yc = int(rng.uniform(0, s))
+        xc = int(rng.uniform(0, s))
+        img9 = img9[yc : yc + 2 * s, xc : xc + 2 * s]
+        bboxes = np.concatenate(boxes9, 0) if boxes9 else np.zeros((0, 4), np.float32)
+        cls = np.concatenate(cls9, 0) if cls9 else np.zeros((0,), np.int64)
+        if len(bboxes):
+            bboxes[:, [0, 2]] -= xc
+            bboxes[:, [1, 3]] -= yc
+            bboxes[:, [0, 2]] = bboxes[:, [0, 2]].clip(0, 2 * s)
+            bboxes[:, [1, 3]] = bboxes[:, [1, 3]].clip(0, 2 * s)
+            keep = (bboxes[:, 2] - bboxes[:, 0] > 2) & (bboxes[:, 3] - bboxes[:, 1] > 2)
+            bboxes, cls = bboxes[keep], cls[keep]
+        return img9, bboxes, cls
+
+
+class CopyPaste:
+    """Instance copy-paste (parity: ref:data/augment.py:1636-1730).
+
+    The reference pastes segment-masked instances; this pipeline is
+    box-only, so the pasted unit is the instance's pixel rectangle,
+    horizontally flipped and placed at the mirrored x position (the
+    reference's ``mode='flip'`` placement).  Pastes skip positions that
+    would cover existing boxes by more than ``iou_thres``.
+    """
+
+    def __init__(self, p: float = 0.5, iou_thres: float = 0.3):
+        self.p = p
+        self.iou_thres = iou_thres
+
+    def __call__(self, img, bboxes, cls, rng: random.Random):
+        n = len(bboxes)
+        if not n or self.p <= 0:
+            return img, bboxes, cls
+        H, W = img.shape[:2]
+        out_img = img
+        new_boxes, new_cls = [], []
+        for j in range(n):
+            if rng.random() >= self.p:
+                continue
+            x1, y1, x2, y2 = bboxes[j].astype(int)
+            w, h = x2 - x1, y2 - y1
+            if w < 4 or h < 4:
+                continue
+            nx1 = W - x2  # mirrored placement
+            nx2 = nx1 + w
+            if nx1 < 0 or nx2 > W:
+                continue
+            cand = np.array([nx1, y1, nx2, y2], np.float32)
+            # reject pastes that overlap existing instances too much
+            xx1 = np.maximum(cand[0], bboxes[:, 0])
+            yy1 = np.maximum(cand[1], bboxes[:, 1])
+            xx2 = np.minimum(cand[2], bboxes[:, 2])
+            yy2 = np.minimum(cand[3], bboxes[:, 3])
+            inter = np.clip(xx2 - xx1, 0, None) * np.clip(yy2 - yy1, 0, None)
+            area = (bboxes[:, 2] - bboxes[:, 0]) * (bboxes[:, 3] - bboxes[:, 1]) + 1e-9
+            if (inter / area).max() > self.iou_thres:
+                continue
+            if out_img is img:
+                out_img = img.copy()
+            out_img[y1:y2, nx1:nx2] = img[y1:y2, x1:x2][:, ::-1]
+            new_boxes.append(cand)
+            new_cls.append(cls[j])
+        if new_boxes:
+            bboxes = np.concatenate([bboxes, np.stack(new_boxes)], 0)
+            cls = np.concatenate([cls, np.asarray(new_cls)], 0)
+        return out_img, bboxes, cls
+
 
 @dataclass
 class TrainTransforms:
@@ -268,10 +382,14 @@ class TrainTransforms:
     hsv_v: float = 0.4
     fliplr: float = 0.5
     flipud: float = 0.0
+    copy_paste: float = 0.0
+    mosaic9: bool = False
     mosaic_enabled: bool = True
 
     def __post_init__(self):
-        self._mosaic = Mosaic(self.dataset, self.imgsz, self.mosaic)
+        self._mosaic = Mosaic(self.dataset, self.imgsz, self.mosaic,
+                              n=9 if self.mosaic9 else 4)
+        self._copy_paste = CopyPaste(self.copy_paste)
         self._affine = RandomPerspective(
             degrees=self.degrees, translate=self.translate, scale=self.scale,
             shear=self.shear, perspective=self.perspective,
@@ -302,6 +420,8 @@ class TrainTransforms:
             img, bboxes = lb["img"], lb["bboxes"]
             img, bboxes, cls = self._affine_plain(img, bboxes, cls, rng)
 
+        if self.copy_paste:
+            img, bboxes, cls = self._copy_paste(img, bboxes, cls, rng)
         img = self._hsv(img, rng)
         img, bboxes = RandomFlip(self.flipud, "vertical")(img, bboxes, rng)
         img, bboxes = RandomFlip(self.fliplr, "horizontal")(img, bboxes, rng)

@@ -84,7 +84,10 @@ class YOLODataset:
         self.im_files = self._scan_images(img_path, fraction)
         self.labels = self._load_labels()
         self.hyp = hyp
-        self._ims = [None] * len(self.im_files) if cache else None
+        # cache: False | True/'ram' (decoded arrays in memory) | 'disk'
+        # (decoded .npy sidecars, mmap-loaded — parity: ref:data/base.py:205)
+        self.cache_mode = {True: "ram", False: None}.get(cache, cache) or None
+        self._ims = [None] * len(self.im_files) if self.cache_mode == "ram" else None
         if augment and hyp is not None:
             self.transforms = TrainTransforms(
                 dataset=self,
@@ -101,6 +104,7 @@ class YOLODataset:
                 hsv_v=getattr(hyp, "hsv_v", 0.4),
                 fliplr=getattr(hyp, "fliplr", 0.5),
                 flipud=getattr(hyp, "flipud", 0.0),
+                copy_paste=getattr(hyp, "copy_paste", 0.0),
             )
         else:
             self.transforms = None
@@ -170,10 +174,16 @@ class YOLODataset:
     def load_image(self, i: int):
         if self._ims is not None and self._ims[i] is not None:
             return self._ims[i]
+        if self.cache_mode == "disk":
+            npy = Path(self.im_files[i]).with_suffix(".npy")
+            if npy.exists():
+                return np.load(npy, mmap_mode="r")
         im = cv2.imread(self.im_files[i])
         if im is None:
             raise FileNotFoundError(f"image not found {self.im_files[i]}")
-        if self._ims is not None:
+        if self.cache_mode == "disk":
+            np.save(Path(self.im_files[i]).with_suffix(".npy"), im)
+        elif self._ims is not None:
             self._ims[i] = im
         return im
 

@@ -524,3 +524,231 @@ class C3k2(nn.Module):
         return ConvBNAct(self.c2, 1, 1, training=self.training, name="cv2")(
             jnp.concatenate(parts, axis=-1)
         )
+
+
+# ---------------------------------------------------------------------------
+# conv zoo long tail (parity: ref:nn/modules/conv.py + block.py)
+# ---------------------------------------------------------------------------
+
+
+class Focus(nn.Module):
+    """Space-to-depth stem: 2x2 pixel de-interleave -> conv
+    (parity: conv.py:139-156).  NHWC."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    training: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        y = jnp.concatenate(
+            [x[:, ::2, ::2], x[:, 1::2, ::2], x[:, ::2, 1::2], x[:, 1::2, 1::2]],
+            axis=-1,
+        )
+        return ConvBNAct(self.c2, self.k, self.s, training=self.training,
+                         dtype=self.dtype, name="conv")(y)
+
+
+class GhostConv(nn.Module):
+    """Primary conv + cheap depthwise 5x5 expansion (parity: conv.py:158-172)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    training: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        c_ = self.c2 // 2
+        y = ConvBNAct(c_, self.k, self.s, training=self.training,
+                      dtype=self.dtype, name="cv1")(x)
+        y2 = ConvBNAct(c_, 5, 1, g=c_, training=self.training,
+                       dtype=self.dtype, name="cv2")(y)
+        return jnp.concatenate([y, y2], axis=-1)
+
+
+class GhostBottleneck(nn.Module):
+    """Ghost bottleneck with optional stride-2 depthwise
+    (parity: block.py:447-470)."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    training: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        c_ = self.c2 // 2
+        y = GhostConv(c_, 1, 1, training=self.training, dtype=self.dtype, name="gc1")(x)
+        if self.s == 2:
+            y = DWConvBlock(c_, self.k, self.s, act=None, training=self.training,
+                            dtype=self.dtype, name="dw")(y)
+        y = GhostConv(self.c2, 1, 1, training=self.training, dtype=self.dtype, name="gc2")(y)
+        if self.s == 2:
+            sc = DWConvBlock(x.shape[-1], self.k, self.s, act=None,
+                             training=self.training, dtype=self.dtype, name="sc_dw")(x)
+            sc = ConvBNAct(self.c2, 1, 1, act=None, training=self.training,
+                           dtype=self.dtype, name="sc_pw")(sc)
+        else:
+            sc = x if x.shape[-1] == self.c2 else ConvBNAct(
+                self.c2, 1, 1, act=None, training=self.training,
+                dtype=self.dtype, name="sc_pw")(x)
+        return y + sc
+
+
+class RepConv(nn.Module):
+    """Rep-style 3x3 + 1x1 (+identity BN) block (parity: conv.py:174-260).
+
+    Training runs the three branches; ``deploy`` runs the single fused
+    conv whose params come from :func:`repconv_fuse` at export time.
+    """
+
+    c2: int
+    s: int = 1
+    g: int = 1
+    use_id_bn: bool = False
+    training: bool = False
+    deploy: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        if self.deploy:
+            y = nn.Conv(self.c2, (3, 3), strides=(self.s, self.s),
+                        padding=[(1, 1), (1, 1)], feature_group_count=self.g,
+                        use_bias=True, dtype=self.dtype, name="conv")(x)
+            return nn.silu(y)
+        y = ConvBNAct(self.c2, 3, self.s, g=self.g, act=None,
+                      training=self.training, dtype=self.dtype, name="conv1")(x)
+        y = y + ConvBNAct(self.c2, 1, self.s, g=self.g, act=None,
+                          training=self.training, dtype=self.dtype, name="conv2")(x)
+        if self.use_id_bn and x.shape[-1] == self.c2 and self.s == 1:
+            y = y + nn.BatchNorm(use_running_average=not self.training,
+                                 momentum=0.97, epsilon=1e-3, dtype=self.dtype,
+                                 name="bn")(x)
+        return nn.silu(y)
+
+
+def repconv_fuse(params: dict, stats: dict, groups: int = 1):
+    """Fold the RepConv branches into one 3x3 conv (kernel HWIO, bias).
+
+    Parity: ref:conv.py get_equivalent_kernel_bias — 3x3 + padded 1x1 +
+    identity, each BN-folded first.
+    """
+    import numpy as np
+
+    def fold(branch, st):
+        k = np.asarray(branch["conv"]["kernel"])
+        g, b = np.asarray(branch["bn"]["scale"]), np.asarray(branch["bn"]["bias"])
+        m, v = np.asarray(st["bn"]["mean"]), np.asarray(st["bn"]["var"])
+        s = g / np.sqrt(v + 1e-3)
+        return k * s, b - m * s
+
+    k3, b3 = fold(params["conv1"], stats["conv1"])
+    k1, b1 = fold(params["conv2"], stats["conv2"])
+    k1p = np.pad(k1, ((1, 1), (1, 1), (0, 0), (0, 0)))
+    k, b = k3 + k1p, b3 + b1
+    if "bn" in params:  # identity branch
+        g_, b_ = np.asarray(params["bn"]["scale"]), np.asarray(params["bn"]["bias"])
+        m_, v_ = np.asarray(stats["bn"]["mean"]), np.asarray(stats["bn"]["var"])
+        s_ = g_ / np.sqrt(v_ + 1e-3)
+        cin = k.shape[2] * groups
+        kid = np.zeros_like(k3)
+        for i in range(k3.shape[3]):
+            kid[1, 1, i % k.shape[2], i] = 1.0
+        k = k + kid * s_
+        b = b + (b_ - m_ * s_)
+    return {"conv": {"kernel": k, "bias": b}}
+
+
+class SCDown(nn.Module):
+    """Separable downsample: 1x1 pointwise -> depthwise stride conv
+    (parity: block.py:1211-1248)."""
+
+    c2: int
+    k: int = 3
+    s: int = 2
+    training: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        y = ConvBNAct(self.c2, 1, 1, training=self.training, dtype=self.dtype,
+                      name="cv1")(x)
+        return ConvBNAct(self.c2, self.k, self.s, g=self.c2, act=None,
+                         training=self.training, dtype=self.dtype, name="cv2")(y)
+
+
+class PSAAttention(nn.Module):
+    """Conv-QKV multi-head self-attention with depthwise positional conv
+    (parity: block.py:1001-1060 Attention).  NHWC."""
+
+    dim: int
+    num_heads: int = 8
+    attn_ratio: float = 0.5
+    training: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        N = H * W
+        hd = self.dim // self.num_heads
+        kd = int(hd * self.attn_ratio)
+        h_all = self.dim + kd * self.num_heads * 2
+        qkv = ConvBNAct(h_all, 1, act=None, training=self.training,
+                        dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, N, self.num_heads, kd * 2 + hd)
+        q, k, v = jnp.split(qkv, [kd, 2 * kd], axis=-1)
+        attn = jnp.einsum("bnhk,bmhk->bhnm", q.astype(f32), k.astype(f32)) * (kd ** -0.5)
+        attn = jax.nn.softmax(attn, axis=-1)
+        y = jnp.einsum("bhnm,bmhd->bnhd", attn, v.astype(f32)).reshape(B, H, W, C)
+        pe = ConvBNAct(self.dim, 3, g=self.dim, act=None, training=self.training,
+                       dtype=self.dtype, name="pe")(v.reshape(B, H, W, C))
+        y = (y + pe).astype(x.dtype)
+        return ConvBNAct(self.dim, 1, act=None, training=self.training,
+                         dtype=self.dtype, name="proj")(y)
+
+
+class PSABlock(nn.Module):
+    """Attention + conv-FFN with residuals (parity: block.py:1060-1092)."""
+
+    dim: int
+    num_heads: int = 4
+    shortcut: bool = True
+    training: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        a = PSAAttention(dim=self.dim, num_heads=self.num_heads,
+                         training=self.training, dtype=self.dtype, name="attn")(x)
+        x = x + a if self.shortcut else a
+        f = ConvBNAct(self.dim * 2, 1, training=self.training, dtype=self.dtype,
+                      name="ffn_0")(x)
+        f = ConvBNAct(self.dim, 1, act=None, training=self.training,
+                      dtype=self.dtype, name="ffn_1")(f)
+        return x + f if self.shortcut else f
+
+
+class PSA(nn.Module):
+    """Position-sensitive attention block (parity: block.py:1094-1177)."""
+
+    c2: int
+    e: float = 0.5
+    training: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        c = int(self.c2 * self.e)
+        y = ConvBNAct(2 * c, 1, training=self.training, dtype=self.dtype, name="cv1")(x)
+        a, b = jnp.split(y, [c], axis=-1)
+        b = PSABlock(dim=c, num_heads=max(c // 64, 1), training=self.training,
+                     dtype=self.dtype, name="psa")(b)
+        return ConvBNAct(self.c2, 1, training=self.training, dtype=self.dtype,
+                         name="cv2")(jnp.concatenate([a, b], axis=-1))

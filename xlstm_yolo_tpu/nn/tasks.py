@@ -60,7 +60,8 @@ def yaml_model_load(path_or_dict) -> dict:
 # modules whose first YAML arg is the output-channel count and which take
 # (c1-prepended) standard args — parity with the base_modules set
 # (nn/tasks.py:1099-1143) restricted to what we implement.
-_BASE = {"Conv", "DWConv", "C2f", "C3", "C3k2", "SPPF", "Bottleneck", "SimpleStem"}
+_BASE = {"Conv", "DWConv", "C2f", "C3", "C3k2", "SPPF", "Bottleneck", "SimpleStem",
+         "Focus", "GhostConv", "GhostBottleneck", "RepConv", "SCDown", "PSA", "C2fPSA"}
 _REPEAT = {"C2f", "C3", "C3k2"}
 
 
@@ -217,6 +218,27 @@ def build_module(spec: dict, nc: int, training: bool, chunkwise_kernel: str,
         c2 = args[0]
         k = args[1] if len(args) > 1 else 5
         return B.SPPF(c2=c2, k=k, training=training, name=mname)
+    if name == "Focus":
+        return B.Focus(c2=args[0], k=args[1] if len(args) > 1 else 1,
+                       s=args[2] if len(args) > 2 else 1, training=training,
+                       dtype=compute_dtype, name=mname)
+    if name == "GhostConv":
+        return B.GhostConv(c2=args[0], k=args[1] if len(args) > 1 else 1,
+                           s=args[2] if len(args) > 2 else 1, training=training,
+                           dtype=compute_dtype, name=mname)
+    if name == "GhostBottleneck":
+        return B.GhostBottleneck(c2=args[0], k=args[1] if len(args) > 1 else 3,
+                                 s=args[2] if len(args) > 2 else 1, training=training,
+                                 dtype=compute_dtype, name=mname)
+    if name == "RepConv":
+        return B.RepConv(c2=args[0], s=args[2] if len(args) > 2 else 1,
+                         training=training, dtype=compute_dtype, name=mname)
+    if name == "SCDown":
+        return B.SCDown(c2=args[0], k=args[1] if len(args) > 1 else 3,
+                        s=args[2] if len(args) > 2 else 2, training=training,
+                        dtype=compute_dtype, name=mname)
+    if name == "PSA":
+        return B.PSA(c2=args[0], training=training, dtype=compute_dtype, name=mname)
     if name == "SimpleStem":
         c2 = args[0]
         return B.SimpleStem(embed_dim=c2, training=training, name=mname)
