@@ -159,3 +159,39 @@ def test_mosaic9_and_copypaste(rng, tmp_path):
     assert len(b2) >= len(b)
     # disk cache sidecar written and reused
     assert (tmp_path / "images" / "train" / "0.npy").exists()
+
+
+def test_solutions_suite():
+    """Queue/region/distance/gym/zone/analytics solutions on synthetic tracks."""
+    from xlstm_yolo_tpu.solutions import (
+        AIGym, Analytics, DistanceCalculation, QueueManager, RegionCounter,
+        TrackZone,
+    )
+
+    tracks = np.array(
+        [[10, 10, 30, 30, 1, 0.9, 0], [50, 50, 80, 90, 2, 0.8, 1]], np.float32
+    )
+    assert QueueManager(region=[(0, 0), (100, 0), (100, 100), (0, 100)]).update(tracks) == 2
+    rc = RegionCounter(regions={
+        "a": [(0, 0), (40, 0), (40, 40), (0, 40)],
+        "b": [(40, 40), (100, 40), (100, 100), (40, 100)],
+    })
+    assert rc.update(tracks) == {"a": 1, "b": 1}
+
+    dc = DistanceCalculation(px_per_meter=10)
+    dc.select(1)
+    dc.select(2)
+    assert abs(dc.update(tracks) - 6.73) < 0.02
+
+    g = AIGym("pushup")
+    kp_up = np.zeros((17, 2)); kp_up[5] = [0, 0]; kp_up[7] = [10, 0]; kp_up[9] = [20, 0]
+    kp_dn = kp_up.copy(); kp_dn[9] = [5, 5]
+    g.update({1: kp_up}); g.update({1: kp_dn})
+    assert g.update({1: kp_up})[1] == 1
+
+    tz = TrackZone(region=[(0, 0), (40, 0), (40, 40), (0, 40)])
+    assert len(tz.filter(tracks)) == 1
+
+    a = Analytics()
+    a.update(tracks)
+    assert dict(a.totals()) == {0: 1, 1: 1}

@@ -94,6 +94,9 @@ class DetectionTrainer:
         self.save_dir = self._get_save_dir()
         if getattr(self.args, "plots", True):
             add_tensorboard(self.callbacks, str(self.save_dir / "tb"))
+        from xlstm_yolo_tpu.utils.callbacks.integrations import add_available_integrations
+
+        add_available_integrations(self.callbacks)
         self.wdir = self.save_dir / "weights"
         self.csv_path = self.save_dir / "results.csv"
         self.best_fitness = 0.0
