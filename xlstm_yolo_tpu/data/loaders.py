@@ -113,6 +113,64 @@ class LoadPilAndNumpy:
             yield self.paths[sl], self.imgs[sl], [""] * len(self.imgs[sl])
 
 
+class LoadTensor:
+    """Pre-batched tensors (torch/jax/np, BCHW or BHWC, float 0-1 or uint8)
+    (parity: ref:data/loaders.py:516-560)."""
+
+    def __init__(self, tensor):
+        arr = np.asarray(tensor)
+        if arr.ndim == 3:
+            arr = arr[None]
+        assert arr.ndim == 4, f"expected 3/4-D tensor, got {arr.shape}"
+        if arr.shape[1] in (1, 3) and arr.shape[-1] not in (1, 3):  # BCHW -> BHWC
+            arr = arr.transpose(0, 2, 3, 1)
+        if arr.dtype != np.uint8:
+            assert arr.max() <= 1.0 + 1e-3, "float tensor sources must be 0-1"
+            arr = (arr * 255).astype(np.uint8)
+        self.imgs = [np.ascontiguousarray(a[..., ::-1]) for a in arr]  # RGB->BGR
+        self.paths = [f"tensor{i}.jpg" for i in range(len(self.imgs))]
+        self.batch = len(self.imgs)
+        self.mode = "image"
+
+    def __len__(self):
+        return len(self.imgs)
+
+    def __iter__(self):
+        yield self.paths, self.imgs, [""] * len(self.imgs)
+
+
+class LoadScreenshots:
+    """Desktop screenshot source via ``mss`` (parity: loaders.py:213-283).
+
+    Source syntax: "screen" or "screen 0 left top width height"."""
+
+    def __init__(self, source: str = "screen"):
+        try:
+            import mss
+        except ImportError as e:  # pragma: no cover - mss not in this image
+            raise ImportError("screenshot source requires the 'mss' package") from e
+        parts = str(source).split()
+        self.screen = int(parts[1]) if len(parts) > 1 else 0
+        self.sct = mss.mss()
+        mon = self.sct.monitors[self.screen + 1]
+        if len(parts) == 6:
+            left, top, w, h = map(int, parts[2:6])
+            self.monitor = {"left": mon["left"] + left, "top": mon["top"] + top,
+                            "width": w, "height": h}
+        else:
+            self.monitor = mon
+        self.mode = "stream"
+        self.frame = 0
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        im = np.asarray(self.sct.grab(self.monitor))[..., :3]  # BGRA -> BGR
+        self.frame += 1
+        return [f"screen{self.screen}.jpg"], [np.ascontiguousarray(im)], [f"frame {self.frame}"]
+
+
 class LoadStreams:
     """Threaded webcam/RTSP/HTTP stream reader (parity: loaders.py:51-212)."""
 
@@ -179,9 +237,15 @@ def load_inference_source(source, batch: int = 1, vid_stride: int = 1):
     """Dispatch source type (parity: data/build.py:160-219 check_source)."""
     if isinstance(source, (str, Path)):
         s = str(source)
+        if s.startswith("screen"):
+            return LoadScreenshots(s)
         if s.isnumeric() or s.startswith(("rtsp://", "rtmp://", "http://", "https://", "tcp://")):
             return LoadStreams(s, vid_stride=vid_stride)
         return LoadImagesAndVideos(source, batch=batch, vid_stride=vid_stride)
+    if isinstance(source, np.ndarray) and source.ndim == 4:
+        return LoadTensor(source)
+    if hasattr(source, "device") and hasattr(source, "ndim"):  # torch/jax tensor
+        return LoadTensor(source)
     if isinstance(source, np.ndarray) or hasattr(source, "mode"):
         return LoadPilAndNumpy(source, batch=batch)
     if isinstance(source, (list, tuple)):
