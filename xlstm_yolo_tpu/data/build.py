@@ -122,10 +122,14 @@ class DataLoader:
 
 def build_yolo_dataset(cfg, img_path: str, batch: int, data_info: dict, mode: str = "train"):
     """Parity: data/build.py:96-137 — dataset construction from cfg."""
+    task = str(getattr(cfg, "task", "detect") or "detect")
     return YOLODataset(
         img_path=img_path,
         imgsz=int(cfg.imgsz),
-        augment=(mode == "train"),
+        task=task,
+        # segment/pose keep the letterbox path (polygon-aware mosaic/affine
+        # land with the seg augmentation pass)
+        augment=(mode == "train" and task == "detect"),
         hyp=cfg if mode == "train" else None,
         max_targets=int(getattr(cfg, "max_targets", 128) or 128),
         single_cls=bool(getattr(cfg, "single_cls", False)),

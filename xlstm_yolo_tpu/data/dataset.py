@@ -67,6 +67,7 @@ class YOLODataset:
         self,
         img_path: str,
         imgsz: int = 640,
+        task: str = "detect",
         augment: bool = False,
         hyp=None,
         max_targets: int = 128,
@@ -77,6 +78,7 @@ class YOLODataset:
     ):
         self.img_path = img_path
         self.imgsz = imgsz
+        self.task = task
         self.augment = augment
         self.max_targets = max_targets
         self.single_cls = single_cls
@@ -145,20 +147,32 @@ class YOLODataset:
         labels = []
         for f in self.im_files:
             lp = img2label_path(f)
-            cls, boxes = [], []
+            cls, boxes, segments = [], [], []
             if Path(lp).exists():
                 for line in Path(lp).read_text().splitlines():
                     vals = line.split()
-                    if len(vals) >= 5:
+                    if len(vals) > 5 and len(vals) % 2 == 1:
+                        # segment row: class + polygon (x y)*n normalized
+                        c = int(float(vals[0]))
+                        poly = np.array(list(map(float, vals[1:])), np.float32).reshape(-1, 2)
+                        x1, y1 = poly.min(0)
+                        x2, y2 = poly.max(0)
+                        cls.append(0 if self.single_cls else c)
+                        boxes.append(np.array(
+                            [(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1], np.float32))
+                        segments.append(poly)
+                    elif len(vals) >= 5:
                         c = int(float(vals[0]))
                         xywh = np.array(list(map(float, vals[1:5])), np.float32)
                         if (xywh[2:] > 0).all() and (0 <= xywh).all() and (xywh <= 1.0001).all():
                             cls.append(0 if self.single_cls else c)
                             boxes.append(xywh)
+                            segments.append(None)
             labels.append(
                 {
                     "cls": np.asarray(cls, np.int64),
                     "bboxes_n": np.asarray(boxes, np.float32).reshape(-1, 4),  # xywh norm
+                    "segments": segments,  # list of (K, 2) normalized polys or None
                 }
             )
         try:
@@ -227,6 +241,9 @@ class YOLODataset:
             img, bboxes, cls = out["img"], out["bboxes"], lab["cls"]
             ratio_pad = out["ratio_pad"]
         img = np.ascontiguousarray(img[..., ::-1])  # BGR -> RGB
+        masks = None
+        if self.task == "segment":
+            masks = self._rasterize_masks(i, ratio_pad, len(cls))
         M = self.max_targets
         n = min(len(cls), M)
         cls_p = np.zeros((M,), np.int32)
@@ -236,7 +253,7 @@ class YOLODataset:
             cls_p[:n] = cls[:n]
             box_p[:n] = bboxes[:n]
             mask[:n] = True
-        return {
+        sample = {
             "img": img,
             "cls": cls_p,
             "bboxes": box_p,
@@ -245,6 +262,41 @@ class YOLODataset:
             "orig_shape": orig_shape,
             "ratio_pad": ratio_pad,
         }
+        if masks is not None:
+            ms = self.imgsz // 4  # proto-resolution targets (stride-8 P2 x2 up)
+            mp = np.zeros((M, ms, ms), np.uint8)
+            mp[: min(len(masks), M)] = masks[:M]
+            sample["masks"] = mp
+        return sample
+
+    def _rasterize_masks(self, i: int, ratio_pad, n: int) -> np.ndarray:
+        """Per-instance binary masks at imgsz//4, letterbox-aligned.
+
+        Polygon rows rasterize exactly; box-only rows fall back to the
+        filled box (the reference errors instead; the fallback keeps
+        detect-format datasets trainable for quick seg experiments).
+        """
+        lab = self.labels[i]
+        ms = self.imgsz // 4
+        (rw, rh), (padw, padh) = ratio_pad if ratio_pad else ((1.0, 1.0), (0.0, 0.0))
+        h0, w0 = self.load_image(i).shape[:2]
+        sx = lambda xn: (xn * w0 * rw + padw) / 4.0
+        sy = lambda yn: (yn * h0 * rh + padh) / 4.0
+        out = []
+        segs = lab.get("segments", [None] * n)
+        boxes_n = lab["bboxes_n"]
+        for j in range(min(n, len(boxes_n))):
+            m = np.zeros((ms, ms), np.uint8)
+            seg = segs[j] if j < len(segs) else None
+            if seg is not None:
+                pts = np.stack([sx(seg[:, 0]), sy(seg[:, 1])], -1)
+                cv2.fillPoly(m, [pts.astype(np.int32)], 1)
+            else:
+                cx, cy, bw, bh = boxes_n[j]
+                m[int(sy(cy - bh / 2)): int(sy(cy + bh / 2)),
+                  int(sx(cx - bw / 2)): int(sx(cx + bw / 2))] = 1
+            out.append(m)
+        return np.asarray(out, np.uint8).reshape(-1, ms, ms)
 
     @staticmethod
     def collate(samples: list[dict]) -> dict:
@@ -256,4 +308,6 @@ class YOLODataset:
             "im_file": [s["im_file"] for s in samples],
             "orig_shape": [s["orig_shape"] for s in samples],
             "ratio_pad": [s["ratio_pad"] for s in samples],
+            **({"masks": np.stack([s["masks"] for s in samples])}
+               if "masks" in samples[0] else {}),
         }

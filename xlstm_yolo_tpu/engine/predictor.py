@@ -99,7 +99,11 @@ class BasePredictor:
                 pad = np.zeros((compiled_bs - n, *batch.shape[1:]), batch.dtype)
                 batch = np.concatenate([batch, pad], 0)
             t1 = time.perf_counter()
-            preds = np.asarray(self._predict_jit(self.variables, jnp.asarray(batch)))[:n]
+            out = self._predict_jit(self.variables, jnp.asarray(batch))
+            if isinstance(out, tuple):  # task heads return extras (coeffs/kpts/proto)
+                preds = tuple(np.asarray(o)[:n] for o in out)
+            else:
+                preds = np.asarray(out)[:n]
             t2 = time.perf_counter()
             results = self.postprocess(preds, im0s, paths)
             t3 = time.perf_counter()

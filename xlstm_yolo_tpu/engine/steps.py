@@ -49,6 +49,7 @@ def make_train_step(
     end2end: bool = True,
     ema_decay: float = 0.9999,
     accumulate: int = 1,
+    task: str = "detect",
 ) -> Callable:
     """Build train_step(state, batch, rng) -> (state, metrics).
 
@@ -70,7 +71,30 @@ def make_train_step(
             rngs={"droppath": rng},
         )
         ih = batch["img"].shape[1]
-        if end2end:
+        if task == "segment":
+            from xlstm_yolo_tpu.utils.loss import v8_segmentation_loss
+
+            feats = out["one2many"]
+            strides = [ih / f.shape[1] for f in feats]
+            gt_masks = batch["masks"].astype(f32)
+            Hm, Wm = out["proto"].shape[1:3]
+            if gt_masks.shape[-2:] != (Hm, Wm):
+                gt_masks = jax.image.resize(
+                    gt_masks, (*gt_masks.shape[:2], Hm, Wm), "nearest")
+            total, items, _ = v8_segmentation_loss(
+                out, batch["cls"], batch["bboxes"], batch["mask"], gt_masks,
+                strides, img_size=ih, nc=nc,
+            )
+        elif task == "pose":
+            from xlstm_yolo_tpu.utils.loss import v8_pose_loss
+
+            feats = out["one2many"]
+            strides = [ih / f.shape[1] for f in feats]
+            total, items, _ = v8_pose_loss(
+                out, batch["cls"], batch["bboxes"], batch["mask"],
+                batch["kpts"].astype(f32), strides, nc=nc,
+            )
+        elif end2end:
             feats = out["one2many"]
             strides = [ih / f.shape[1] for f in feats]
             total, items = e2e_detect_loss(

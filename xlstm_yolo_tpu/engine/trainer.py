@@ -188,7 +188,8 @@ class DetectionTrainer:
         # grad accumulation: collect `accumulate` loader batches and scan
         # over them as microbatches inside one optimizer step (the nbs
         # semantics of trainer.py:304,372)
-        train_step = make_train_step(model_t, tx, nc=nc, accumulate=accumulate)
+        train_step = make_train_step(model_t, tx, nc=nc, accumulate=accumulate,
+                                     task=str(getattr(args, "task", "detect") or "detect"))
         # buffer donation would halve peak HBM, but both available
         # runtimes currently reject it: the XLA CPU backend deadlocks its
         # collective rendezvous with donated multi-device buffers, and
@@ -230,11 +231,12 @@ class DetectionTrainer:
                     micro.append(host_batch)
                     if len(micro) < accumulate:
                         continue
+                    mkeys = keys + tuple(k for k in ("masks", "kpts") if k in micro[0])
                     if accumulate == 1:
-                        hostb = {k: micro[0][k] for k in keys}
+                        hostb = {k: micro[0][k] for k in mkeys}
                         axis = 0
                     else:
-                        hostb = {k: np.stack([b[k] for b in micro]) for k in keys}
+                        hostb = {k: np.stack([b[k] for b in micro]) for k in mkeys}
                         axis = 1
                     micro = []
                     yield mesh_lib.shard_host_batch(hostb, mesh, axis=axis)

@@ -144,16 +144,24 @@ def non_max_suppression(
     end2end: bool = False,
     multi_label: bool = False,
     max_wh: float = 7680.0,
+    return_idx: bool = False,
 ):
     """Batched NMS returning fixed-shape (B, max_det, 6) + validity mask.
 
     end2end inputs are already (B, N, 6): conf filter + truncate only
     (parity: ops.py:240-244).  Otherwise: xywh->xyxy, best-class
     selection, class-offset batched NMS (parity: ops.py:181-330).
+    ``return_idx`` additionally yields the kept anchor indices (B,
+    max_det) so callers can gather per-anchor extras (mask coeffs,
+    keypoints).
     """
     if end2end:
         out = preds[:, :max_det]
         valid = out[..., 4] > conf_thres
+        if return_idx:
+            B = preds.shape[0]
+            ar = jnp.broadcast_to(jnp.arange(out.shape[1]), (B, out.shape[1]))
+            return out, valid, ar
         return out, valid
 
     boxes = xywh2xyxy(preds[..., :4])
@@ -176,6 +184,8 @@ def non_max_suppression(
     out = jnp.concatenate(
         [take(boxes), take(conf[..., None][..., 0:1]), take(cls[..., None])], axis=-1
     )
+    if return_idx:
+        return out, ok, idx
     return out, ok
 
 
