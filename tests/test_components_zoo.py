@@ -195,3 +195,113 @@ def test_solutions_suite():
     a = Analytics()
     a.update(tracks)
     assert dict(a.totals()) == {0: 1, 1: 1}
+
+
+def test_probiou_golden_vs_reference():
+    """probiou matches the torch reference on random rotated boxes."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    import ref_loader
+
+    if not ref_loader.REF.exists():
+        pytest.skip("reference tree not mounted")
+    ref_loader.load_reference()
+    import torch
+    from ultralytics.utils.metrics import probiou as t_probiou
+
+    from xlstm_yolo_tpu.utils.metrics import probiou
+
+    r = np.random.default_rng(3)
+    a = np.concatenate(
+        [r.uniform(0, 100, (64, 2)), r.uniform(2, 50, (64, 2)),
+         r.uniform(-np.pi / 4, 3 * np.pi / 4, (64, 1))], -1).astype(np.float32)
+    b = np.concatenate(
+        [r.uniform(0, 100, (64, 2)), r.uniform(2, 50, (64, 2)),
+         r.uniform(-np.pi / 4, 3 * np.pi / 4, (64, 1))], -1).astype(np.float32)
+    want = t_probiou(torch.from_numpy(a), torch.from_numpy(b)).squeeze(-1).numpy()
+    got = np.asarray(probiou(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+    from ultralytics.utils.ops import xywhr2xyxyxyxy as t_corners
+
+    from xlstm_yolo_tpu.utils.tal import xywhr2xyxyxyxy
+
+    want_c = t_corners(torch.from_numpy(a)).numpy()
+    got_c = np.asarray(xywhr2xyxyxyxy(jnp.asarray(a)))
+    np.testing.assert_allclose(got_c, want_c, atol=1e-4)
+
+
+def test_obb_head_and_loss(rng):
+    """Tiny OBB config builds; loss finite with nonzero grads."""
+    import optax
+
+    from xlstm_yolo_tpu.nn.tasks import build_detection_model
+    from xlstm_yolo_tpu.utils.loss import v8_obb_loss
+
+    B, M = 2, 8
+    img = jnp.zeros((B, 160, 160, 3), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    gt_labels = jnp.zeros((B, M), jnp.int32)
+    gt_rboxes = jnp.tile(jnp.asarray([50.0, 50.0, 60.0, 30.0, 0.4]), (B, M, 1))
+    mask_gt = jnp.ones((B, M), bool).at[:, 4:].set(False)
+
+    m, _ = build_detection_model(
+        "xlstm_yolo_tpu/cfg/models/vil-det-tiny-obb.yaml", training=True, nc=2
+    )
+    v = jax.jit(m.init)({"params": key, "droppath": key}, img)
+    out, _ = m.apply(v, img, mutable=["batch_stats"], rngs={"droppath": key})
+    assert set(out) == {"one2many", "angle"}
+    strides = [160 / f.shape[1] for f in out["one2many"]]
+
+    def loss(params):
+        o, _ = m.apply({"params": params, "batch_stats": v["batch_stats"]}, img,
+                       mutable=["batch_stats"], rngs={"droppath": key})
+        t, _ = v8_obb_loss(o, gt_labels, gt_rboxes, mask_gt, strides, nc=2)
+        return t
+
+    l, g = jax.value_and_grad(loss)(v["params"])
+    assert np.isfinite(float(l)) and float(optax.global_norm(g)) > 0
+
+    # eval mode decodes (B, A, 4+nc+1)
+    me, _ = build_detection_model(
+        "xlstm_yolo_tpu/cfg/models/vil-det-tiny-obb.yaml", training=False, nc=2
+    )
+    y, aux = me.apply(v, img)
+    assert y.shape[-1] == 4 + 2 + 1
+    ang = np.asarray(y[..., -1])
+    assert (ang >= -np.pi / 4 - 1e-3).all() and (ang <= 3 * np.pi / 4 + 1e-3).all()
+
+
+def test_classify_head_and_loss(rng):
+    import optax
+
+    from xlstm_yolo_tpu.nn.tasks import build_detection_model
+    from xlstm_yolo_tpu.utils.loss import v8_classification_loss
+
+    img = jnp.asarray(rng.normal(size=(4, 160, 160, 3)), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    m, _ = build_detection_model(
+        "xlstm_yolo_tpu/cfg/models/vil-cls-tiny.yaml", training=True, nc=10
+    )
+    v = jax.jit(m.init)({"params": key, "droppath": key}, img)
+    labels = jnp.asarray([0, 3, 7, 9], jnp.int32)
+
+    def loss(params):
+        logits, _ = m.apply({"params": params, "batch_stats": v["batch_stats"]}, img,
+                            mutable=["batch_stats"], rngs={"droppath": key})
+        t, _ = v8_classification_loss(logits, labels)
+        return t
+
+    l, g = jax.value_and_grad(loss)(v["params"])
+    assert np.isfinite(float(l)) and float(optax.global_norm(g)) > 0
+    # ~log(10) at random init
+    assert 1.5 < float(l) < 3.5
+
+    me, _ = build_detection_model(
+        "xlstm_yolo_tpu/cfg/models/vil-cls-tiny.yaml", training=False, nc=10
+    )
+    probs, logits = me.apply(v, img)
+    assert probs.shape == (4, 10)
+    np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-5)

@@ -30,7 +30,7 @@ _BOOL_KEYS = {"save", "cache", "exist_ok", "pretrained", "verbose", "determinist
               "stream_buffer", "keras", "optimize", "int8", "dynamic", "simplify",
               "nms"}
 
-TASKS = {"detect"}
+TASKS = {"detect", "segment", "pose", "obb", "classify"}
 MODES = {"train", "val", "predict", "track", "export", "benchmark"}
 
 

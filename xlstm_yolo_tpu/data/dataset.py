@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import math
 import random
 from pathlib import Path
 
@@ -110,7 +111,10 @@ class YOLODataset:
             )
         else:
             self.transforms = None
-        self.letterbox = LetterBox((imgsz, imgsz), auto=False, scaleup=True)
+        # val/eval letterbox only scales DOWN, matching the reference's val
+        # transform (ref:ultralytics/data/dataset.py:181 scaleup=False) —
+        # upscaling small images inflates/deflates val mAP vs the reference.
+        self.letterbox = LetterBox((imgsz, imgsz), auto=False, scaleup=bool(augment))
 
     # -- scanning / label cache -------------------------------------------
     @staticmethod
@@ -168,10 +172,21 @@ class YOLODataset:
                             cls.append(0 if self.single_cls else c)
                             boxes.append(xywh)
                             segments.append(None)
+            cls_a = np.asarray(cls, np.int64)
+            box_a = np.asarray(boxes, np.float32).reshape(-1, 4)
+            if len(cls_a):
+                # drop exact duplicate rows, preserving first-seen order
+                # (parity: ref:data/utils.py:143 verify_image_label np.unique)
+                rows = np.concatenate([cls_a[:, None].astype(np.float32), box_a], 1)
+                _, idx = np.unique(rows, axis=0, return_index=True)
+                if len(idx) < len(cls_a):
+                    idx = np.sort(idx)
+                    cls_a, box_a = cls_a[idx], box_a[idx]
+                    segments = [segments[j] for j in idx]
             labels.append(
                 {
-                    "cls": np.asarray(cls, np.int64),
-                    "bboxes_n": np.asarray(boxes, np.float32).reshape(-1, 4),  # xywh norm
+                    "cls": cls_a,
+                    "bboxes_n": box_a,  # xywh norm
                     "segments": segments,  # list of (K, 2) normalized polys or None
                 }
             )
@@ -267,7 +282,33 @@ class YOLODataset:
             mp = np.zeros((M, ms, ms), np.uint8)
             mp[: min(len(masks), M)] = masks[:M]
             sample["masks"] = mp
+        if self.task == "obb":
+            rb = self._rboxes(i, ratio_pad, bboxes)  # (n, 5) letterboxed px
+            rb_p = np.zeros((M, 5), np.float32)
+            rb_p[: min(len(rb), M)] = rb[:M]
+            sample["rboxes"] = rb_p
         return sample
+
+    def _rboxes(self, i: int, ratio_pad, fallback_xyxy) -> np.ndarray:
+        """Per-instance xywhr rotated boxes in letterboxed pixels.
+
+        Polygon rows (DOTA yolo-obb format: class + 4 corner points) map
+        through cv2.minAreaRect (parity: ref:utils/ops.py
+        xyxyxyxy2xywhr); plain box rows fall back to angle 0.
+        """
+        lab = self.labels[i]
+        (rw, rh), (padw, padh) = ratio_pad if ratio_pad else ((1.0, 1.0), (0.0, 0.0))
+        h0, w0 = self.load_image(i).shape[:2]
+        out = []
+        for j, seg in enumerate(lab["segments"]):
+            if seg is not None and len(seg) >= 3:
+                pts = seg * [w0, h0] * [rw, rh] + [padw, padh]
+                (cx, cy), (bw, bh), ang = cv2.minAreaRect(pts.astype(np.float32))
+                out.append([cx, cy, bw, bh, ang * math.pi / 180.0])
+            elif j < len(fallback_xyxy):
+                x1, y1, x2, y2 = fallback_xyxy[j]
+                out.append([(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1, 0.0])
+        return np.asarray(out, np.float32).reshape(-1, 5)
 
     def _rasterize_masks(self, i: int, ratio_pad, n: int) -> np.ndarray:
         """Per-instance binary masks at imgsz//4, letterbox-aligned.
@@ -310,4 +351,60 @@ class YOLODataset:
             "ratio_pad": [s["ratio_pad"] for s in samples],
             **({"masks": np.stack([s["masks"] for s in samples])}
                if "masks" in samples[0] else {}),
+            **({"rboxes": np.stack([s["rboxes"] for s in samples])}
+               if "rboxes" in samples[0] else {}),
+        }
+
+
+class ClassificationDataset:
+    """ImageNet-style folder dataset: root/<class_name>/*.jpg.
+
+    Parity: ref:data/dataset.py ClassificationDataset (torchvision
+    ImageFolder semantics).  Val transform: aspect-preserving resize of
+    the short side to imgsz then center crop; train adds horizontal
+    flip (the reference's RandomResizedCrop scale jitter is a planned
+    extension).  Serves uint8 RGB HWC.
+    """
+
+    def __init__(self, root: str, imgsz: int = 224, augment: bool = False):
+        self.root = Path(root)
+        self.imgsz = imgsz
+        self.augment = augment
+        classes = sorted(d.name for d in self.root.iterdir() if d.is_dir())
+        if not classes:
+            raise FileNotFoundError(f"no class folders under {root}")
+        self.class_to_idx = {c: i for i, c in enumerate(classes)}
+        self.names = dict(enumerate(classes))
+        self.samples = [
+            (str(f), self.class_to_idx[c])
+            for c in classes
+            for f in sorted((self.root / c).rglob("*.*"))
+            if f.suffix.lower() in IMG_EXTS
+        ]
+
+    def __len__(self):
+        return len(self.samples)
+
+    def get_sample(self, i: int, rng: random.Random):
+        path, label = self.samples[i]
+        im = cv2.imread(path)
+        if im is None:
+            raise FileNotFoundError(path)
+        h, w = im.shape[:2]
+        s = self.imgsz / min(h, w)
+        im = cv2.resize(im, (max(self.imgsz, round(w * s)), max(self.imgsz, round(h * s))),
+                        interpolation=cv2.INTER_LINEAR)
+        h, w = im.shape[:2]
+        top, left = (h - self.imgsz) // 2, (w - self.imgsz) // 2
+        im = im[top : top + self.imgsz, left : left + self.imgsz]
+        if self.augment and rng.random() < 0.5:
+            im = im[:, ::-1]
+        return {"img": np.ascontiguousarray(im[..., ::-1]), "cls": label, "im_file": path}
+
+    @staticmethod
+    def collate(samples: list[dict]) -> dict:
+        return {
+            "img": np.stack([s["img"] for s in samples]),
+            "cls": np.asarray([s["cls"] for s in samples], np.int32),
+            "im_file": [s["im_file"] for s in samples],
         }

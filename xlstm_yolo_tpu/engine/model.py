@@ -109,26 +109,30 @@ class YOLO:
         return self._bundle
 
     # -- modes ----------------------------------------------------------
-    def predict(self, source=None, stream: bool = False, **kwargs):
-        from xlstm_yolo_tpu.engine.predictor import DetectionPredictor
+    def _task_class(self, kind: str):
+        """Resolve the task's trainer/validator/predictor from task_map."""
+        from xlstm_yolo_tpu.models.yolo.model import task_map
 
-        args = get_cfg(overrides={**self.overrides, **kwargs, "mode": "predict"})
+        return task_map.get(self.task, task_map["detect"])[kind]
+
+    def predict(self, source=None, stream: bool = False, **kwargs):
+        args = get_cfg(overrides={**self.overrides, **kwargs, "mode": "predict",
+                                  "task": self.task})
         bundle = self._get_bundle(imgsz=int(args.imgsz),
                                   chunkwise_kernel=str(getattr(args, "chunkwise_kernel", "auto") or "auto"))
-        predictor = DetectionPredictor(args, bundle, self.names)
+        predictor = self._task_class("predictor")(args, bundle, self.names)
         return predictor(source, stream=stream)
 
     def __call__(self, source=None, **kwargs):
         return self.predict(source, **kwargs)
 
     def val(self, data=None, **kwargs):
-        from xlstm_yolo_tpu.engine.validator import DetectionValidator
-
         args = get_cfg(overrides={**self.overrides, **kwargs, "mode": "val",
+                                  "task": self.task,
                                   **({"data": data} if data else {})})
         bundle = self._get_bundle(imgsz=int(args.imgsz),
                                   chunkwise_kernel=str(getattr(args, "chunkwise_kernel", "auto") or "auto"))
-        validator = DetectionValidator(args, data=args.data)
+        validator = self._task_class("validator")(args, data=args.data)
         return validator(bundle, batch_size=int(args.batch))
 
     def train(self, data=None, **kwargs):

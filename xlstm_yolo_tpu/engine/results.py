@@ -152,6 +152,50 @@ class Probs:
 
 
 @dataclass
+class OBB:
+    """Oriented boxes: (N, 7) [cx, cy, w, h, angle, conf, cls] in image px
+    (parity: ref:engine/results.py OBB container)."""
+
+    def __init__(self, data: np.ndarray, orig_shape: tuple[int, int]):
+        self.data = np.asarray(data, np.float32).reshape(-1, 7)
+        self.orig_shape = orig_shape
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, idx):
+        return OBB(self.data[idx], self.orig_shape)
+
+    @property
+    def xywhr(self):
+        return self.data[:, :5]
+
+    @property
+    def conf(self):
+        return self.data[:, 5]
+
+    @property
+    def cls(self):
+        return self.data[:, 6]
+
+    @property
+    def xyxyxyxy(self):
+        """(N, 4, 2) corner points."""
+        import jax.numpy as jnp
+
+        from xlstm_yolo_tpu.utils.tal import xywhr2xyxyxyxy
+
+        return np.asarray(xywhr2xyxyxyxy(jnp.asarray(self.data[:, :5])))
+
+    @property
+    def xyxy(self):
+        """Axis-aligned envelope (N, 4)."""
+        c = self.xyxyxyxy
+        if not len(c):
+            return np.zeros((0, 4), np.float32)
+        return np.concatenate([c.min(1), c.max(1)], -1)
+
+
 class Results:
     """One image's predictions (parity: results.py:187-1000)."""
 
@@ -162,10 +206,13 @@ class Results:
     masks: Masks | None = None
     keypoints: Keypoints | None = None
     probs: Probs | None = None
+    obb: OBB | None = None
     speed: dict = field(default_factory=dict)
 
     def __len__(self):
-        return len(self.boxes) if self.boxes is not None else 0
+        if self.boxes is not None:
+            return len(self.boxes)
+        return len(self.obb) if self.obb is not None else 0
 
     def __getitem__(self, idx):
         return Results(self.orig_img, self.path, self.names, self.boxes[idx],

@@ -94,6 +94,20 @@ def make_train_step(
                 out, batch["cls"], batch["bboxes"], batch["mask"],
                 batch["kpts"].astype(f32), strides, nc=nc,
             )
+        elif task == "obb":
+            from xlstm_yolo_tpu.utils.loss import v8_obb_loss
+
+            feats = out["one2many"]
+            strides = [ih / f.shape[1] for f in feats]
+            total, items = v8_obb_loss(
+                out, batch["cls"], batch["rboxes"].astype(f32), batch["mask"],
+                strides, nc=nc,
+            )
+        elif task == "classify":
+            from xlstm_yolo_tpu.utils.loss import LossItems, v8_classification_loss
+
+            total, l = v8_classification_loss(out, batch["cls"])
+            items = LossItems(l, l, jnp.zeros_like(l))
         elif end2end:
             feats = out["one2many"]
             strides = [ih / f.shape[1] for f in feats]

@@ -119,7 +119,17 @@ class DetectionTrainer:
     def train(self):
         args = self.args
         self.callbacks.run("on_pretrain_routine_start", self)
-        data = check_det_dataset(args.data)
+        task = str(getattr(args, "task", "detect") or "detect")
+        if task == "classify":
+            # folder dataset (root/{train,val}/<class>/*) — no det yaml
+            from xlstm_yolo_tpu.data.dataset import ClassificationDataset
+
+            root = Path(args.data)
+            probe = ClassificationDataset(str(root / "train"), imgsz=int(args.imgsz))
+            data = {"train": str(root / "train"), "val": str(root / "val"),
+                    "nc": len(probe.names), "names": probe.names}
+        else:
+            data = check_det_dataset(args.data)
         nc = data["nc"]
         imgsz = int(args.imgsz)
         batch = int(args.batch)
@@ -148,7 +158,14 @@ class DetectionTrainer:
             variables = self._load_pretrained(variables, args.pretrained)
 
         # --- data ---
-        trainset = build_yolo_dataset(args, data["train"], batch, data, mode="train")
+        if task == "classify":
+            from xlstm_yolo_tpu.data.dataset import ClassificationDataset
+
+            trainset = ClassificationDataset(
+                data["train"], imgsz=imgsz, augment=True
+            )
+        else:
+            trainset = build_yolo_dataset(args, data["train"], batch, data, mode="train")
         loader = build_dataloader(
             trainset, batch, workers=int(args.workers), shuffle=True,
             seed=int(args.seed),
@@ -197,7 +214,16 @@ class DetectionTrainer:
         # step (docs/KNOWN_ISSUES.md) — so no donation for now.
         step_jit = jax.jit(train_step)
 
-        validator = DetectionValidator(args, data=data, save_dir=self.save_dir)
+        if task == "classify":
+            from xlstm_yolo_tpu.models.yolo.classify.val import ClassificationValidator
+
+            validator = ClassificationValidator(args, data=args.data, save_dir=self.save_dir)
+        elif task == "obb":
+            from xlstm_yolo_tpu.models.yolo.obb.val import OBBValidator
+
+            validator = OBBValidator(args, data=data, save_dir=self.save_dir)
+        else:
+            validator = DetectionValidator(args, data=data, save_dir=self.save_dir)
         stopper = EarlyStopping(int(args.patience))
         self.wdir.mkdir(parents=True, exist_ok=True)
         (self.save_dir / "args.yaml").write_text(
@@ -225,13 +251,16 @@ class DetectionTrainer:
                 """Assemble optimizer-step batches: uint8 images (the step
                 normalizes on-device — 1/4 the host->device bytes), one
                 sharded device_put per leaf."""
-                keys = ("img", "cls", "bboxes", "mask")
+                keys = (("img", "cls") if task == "classify"
+                        else ("img", "cls", "bboxes", "mask"))
                 micro = []
                 for host_batch in loader._iter_epoch(ep):
                     micro.append(host_batch)
                     if len(micro) < accumulate:
                         continue
-                    mkeys = keys + tuple(k for k in ("masks", "kpts") if k in micro[0])
+                    mkeys = keys + tuple(
+                        k for k in ("masks", "kpts", "rboxes") if k in micro[0]
+                    )
                     if accumulate == 1:
                         hostb = {k: micro[0][k] for k in mkeys}
                         axis = 0

@@ -64,10 +64,16 @@ def match_predictions(pred_cls: np.ndarray, true_cls: np.ndarray, iou: np.ndarra
         if gt_idx.size == 0:
             continue
         m = np.stack([gt_idx, pred_idx, iou[gt_idx, pred_idx]], axis=1)
-        m = m[m[:, 2].argsort()[::-1]]
-        m = m[np.unique(m[:, 1], return_index=True)[1]]
-        m = m[m[:, 2].argsort()[::-1]]
-        m = m[np.unique(m[:, 0], return_index=True)[1]]
+        if m.shape[0] > 1:
+            # exact reference semantics (validator.py:246-251): one sort by
+            # IoU desc, unique-pred (keeps that pred's best gt; output
+            # reordered by pred index), then unique-gt WITHOUT re-sorting
+            # by IoU — the re-sort is deliberately disabled upstream, and
+            # with near-tied candidates it changes which pred becomes the
+            # TP (measured: ~0.1 mAP on the random-init parity set).
+            m = m[m[:, 2].argsort()[::-1]]
+            m = m[np.unique(m[:, 1], return_index=True)[1]]
+            m = m[np.unique(m[:, 0], return_index=True)[1]]
         correct[m[:, 1].astype(int), ti] = True
     return correct
 
@@ -125,6 +131,9 @@ class DetectionValidator:
                 seen += 1
                 det = preds[i]
                 det = det[det[:, 4] > conf_thres]
+                # model output is score-sorted; truncate like the reference's
+                # end2end NMS branch (ref:utils/ops.py:240-244)
+                det = det[: int(self.args.max_det or 300)]
                 # guard: a model with more classes than the dataset (e.g.
                 # un-finetuned nc=80 weights on a 2-class set) must not
                 # index past the metric tables

@@ -12,6 +12,8 @@ from xlstm_yolo_tpu.models.yolo.detect import (
     DetectionTrainer,
     DetectionValidator,
 )
+from xlstm_yolo_tpu.models.yolo.classify import ClassificationPredictor
+from xlstm_yolo_tpu.models.yolo.obb import OBBPredictor
 from xlstm_yolo_tpu.models.yolo.pose import PosePredictor
 from xlstm_yolo_tpu.models.yolo.segment import SegmentationPredictor
 
@@ -31,4 +33,25 @@ task_map = {
         "validator": DetectionValidator,
         "predictor": PosePredictor,
     },
+    "obb": {
+        "trainer": DetectionTrainer,  # task='obb' selects the rotated loss/targets
+        "validator": None,  # set below (lazy import keeps detect-only paths light)
+        "predictor": OBBPredictor,
+    },
+    "classify": {
+        "trainer": DetectionTrainer,
+        "validator": None,
+        "predictor": ClassificationPredictor,
+    },
 }
+
+
+def _late_validators():
+    from xlstm_yolo_tpu.models.yolo.classify.val import ClassificationValidator
+    from xlstm_yolo_tpu.models.yolo.obb.val import OBBValidator
+
+    task_map["obb"]["validator"] = OBBValidator
+    task_map["classify"]["validator"] = ClassificationValidator
+
+
+_late_validators()

@@ -57,6 +57,45 @@ def topk_postprocess(preds: jax.Array, max_det: int, nc: int = 80) -> jax.Array:
     )
 
 
+def topk_postprocess_sorted(preds: jax.Array, max_det: int, nc: int = 80) -> jax.Array:
+    """Gather-free twin of :func:`topk_postprocess` built on lax.sort.
+
+    Same two-stage top-k semantics (head.py:311-333), but selection is a
+    multi-operand descending sort + static slice, so the compiled program
+    contains NO gather ops.  This matters on the current TPU runtime:
+    co-compiling Pallas custom calls with the top-k gathers faults the
+    worker (docs/KNOWN_ISSUES.md), while the sort lowering is safe — it
+    is what lets the Pallas chunkwise kernel run fused with the decode.
+    """
+    B, A, _ = preds.shape
+    boxes, scores = preds[..., :4], preds[..., 4:]
+    k = min(max_det, A)
+    best = scores.max(-1).astype(f32)  # (B, A)
+
+    # stage 1: top-k anchors by best-class score (sort, keep first k)
+    ops = [-best] + [boxes[..., i].astype(f32) for i in range(4)] + [
+        scores[..., j].astype(f32) for j in range(scores.shape[-1])
+    ]
+    sorted_ops = jax.lax.sort(ops, dimension=-1, num_keys=1)
+    boxes_k = jnp.stack([o[:, :k] for o in sorted_ops[1:5]], -1)  # (B, k, 4)
+    scores_k = jnp.stack([o[:, :k] for o in sorted_ops[5:]], -1)  # (B, k, nc)
+
+    # stage 2: top-k over the flattened (k*nc) class scores
+    flat = -scores_k.reshape(B, k * nc)
+    cls_ids = jnp.broadcast_to(jnp.arange(nc, dtype=f32), (B, k, nc)).reshape(B, -1)
+    box_cols = [
+        jnp.broadcast_to(boxes_k[..., i : i + 1], (B, k, nc)).reshape(B, -1)
+        for i in range(4)
+    ]
+    s2 = jax.lax.sort([flat, cls_ids, *box_cols], dimension=-1, num_keys=1)
+    out_scores = -s2[0][:, :k]
+    out_cls = s2[1][:, :k]
+    out_boxes = jnp.stack([c[:, :k] for c in s2[2:]], -1)
+    return jnp.concatenate(
+        [out_boxes, out_scores[..., None], out_cls[..., None]], axis=-1
+    ).astype(preds.dtype)
+
+
 class Detect(nn.Module):
     """YOLO detect head (DFL box branch + cls branch), NHWC.
 
@@ -79,6 +118,9 @@ class Detect(nn.Module):
     # program (workaround: that stage co-compiled with Pallas custom
     # calls faults the TPU runtime at batch>1 — docs/KNOWN_ISSUES.md)
     decode_only: bool = False
+    # gather-free sort-based postprocess: required when the program also
+    # contains Pallas custom calls (see topk_postprocess_sorted)
+    sort_postprocess: bool = False
     fused: bool = False  # tower convs carry folded-BN biases (eval only)
 
     @property
@@ -147,7 +189,8 @@ class Detect(nn.Module):
                 return {"one2many": one2many, "one2one": one2one}
             y = self._decode(one2one, strides)
             if not self.decode_only:
-                y = topk_postprocess(y, self.max_det, self.nc)
+                post = topk_postprocess_sorted if self.sort_postprocess else topk_postprocess
+                y = post(y, self.max_det, self.nc)
             return y, {"one2many": one2many, "one2one": one2one}
 
         one2many = self._branches(feats, strides, suffix="")
@@ -225,6 +268,59 @@ class Segment(Detect):
         }
 
 
+class OBB(Detect):
+    """Oriented-box head (parity: ref:nn/modules/head.py:361-388).
+
+    Adds an angle tower per level; the angle maps through
+    ``(sigmoid - 0.25) * pi`` into [-pi/4, 3pi/4] and the box decode is
+    dist2rbox (center displaced along the rotated frame).  Training
+    returns {'one2many': maps, 'angle': (B, A, ne)}; eval returns
+    ((B, A, 4+nc+ne) [xywhr-decoded boxes, cls probs, angle], aux).
+    """
+
+    ne: int = 1  # extra (angle) channels
+
+    def _angle_tower(self, feats):
+        c4 = max(self.ch[0] // 4, self.ne)
+        outs = []
+        for i, x in enumerate(feats):
+            a = ConvBNAct(c4, 3, training=self.training, fused=self.fused,
+                          dtype=self.dtype, name=f"cv4_{i}_0")(x)
+            a = ConvBNAct(c4, 3, training=self.training, fused=self.fused,
+                          dtype=self.dtype, name=f"cv4_{i}_1")(a)
+            a = nn.Conv(self.ne, (1, 1), name=f"cv4_{i}_2")(a)
+            outs.append(a.reshape(a.shape[0], -1, self.ne))
+        return jnp.concatenate(outs, axis=1)  # (B, A, ne)
+
+    def _decode_rotated(self, level_maps, strides, angle):
+        from xlstm_yolo_tpu.utils.tal import dist2rbox
+
+        B = level_maps[0].shape[0]
+        feat_shapes = [m.shape[1:3] for m in level_maps]
+        anchors, stride_t = make_anchors(feat_shapes, strides, 0.5)
+        flat = jnp.concatenate([m.reshape(B, -1, self.no) for m in level_maps], axis=1)
+        box, cls = flat[..., : self.reg_max * 4], flat[..., self.reg_max * 4 :]
+        dist = dfl_decode(box, self.reg_max)
+        rbox = dist2rbox(dist.astype(f32), angle.astype(f32), anchors[None]) * stride_t[None, ..., 0:1]
+        return jnp.concatenate(
+            [rbox.astype(flat.dtype), jax.nn.sigmoid(cls.astype(f32)).astype(flat.dtype)], -1
+        )
+
+    @nn.compact
+    def __call__(self, feats: list, img_hw: tuple[int, int] | None = None):
+        ih = img_hw[0] if img_hw else self.img_size
+        strides = tuple(ih / x.shape[1] for x in feats)
+        raw_angle = self._angle_tower(feats)
+        angle = (jax.nn.sigmoid(raw_angle.astype(f32)) - 0.25) * math.pi
+        one2many = self._branches(feats, strides, suffix="")
+        if self.training:
+            return {"one2many": one2many, "angle": angle}
+        y = self._decode_rotated(one2many, strides, angle)
+        return jnp.concatenate([y, angle.astype(y.dtype)], axis=-1), {
+            "one2many": one2many, "angle": angle,
+        }
+
+
 class Pose(Detect):
     """Pose head (parity: ref:nn/modules/head.py:391-440).
 
@@ -264,6 +360,33 @@ class Pose(Detect):
         return jnp.concatenate([y, dec.reshape(B, dec.shape[1], -1).astype(y.dtype)], -1), {
             "one2many": one2many, "kpts": kpts,
         }
+
+
+class Classify(nn.Module):
+    """Classification head: conv -> global avg pool -> linear
+    (parity: ref:nn/modules/head.py:443-466).  Training returns logits;
+    eval returns (softmax probs, logits)."""
+
+    c2: int = 1000
+    k: int = 1
+    s: int = 1
+    training: bool = False
+    dtype: Any = None
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x):
+        if isinstance(x, (list, tuple)):
+            x = jnp.concatenate(list(x), axis=-1)
+        c_ = 1280  # efficientnet_b0 width, as in the reference
+        y = ConvBNAct(c_, self.k, s=self.s, training=self.training,
+                      dtype=self.dtype, name="conv")(x)
+        y = y.mean(axis=(1, 2))  # NHWC global average pool
+        y = nn.Dropout(self.dropout, deterministic=not self.training)(y)
+        logits = nn.Dense(self.c2, name="linear")(y.astype(f32))
+        if self.training:
+            return logits
+        return jax.nn.softmax(logits, axis=-1), logits
 
 
 def pose_decode(kpts, anchors, stride_t, kpt_shape):

@@ -121,9 +121,11 @@ def parse_model_specs(d: dict, ch: int = 3, scale: str | None = None):
             c2 = ch_list[f]
         elif name == "Concat":
             c2 = sum(ch_list[x] for x in f)
-        elif name in {"Detect", "v10Detect", "Segment", "Pose"}:
+        elif name in {"Detect", "v10Detect", "Segment", "Pose", "OBB"}:
             kwargs["ch"] = tuple(ch_list[x] for x in f)
             c2 = None
+        elif name == "Classify":
+            c2 = args[0]
         else:
             raise ValueError(f"unsupported module '{m}' in model yaml (layer {i})")
 
@@ -247,8 +249,11 @@ def build_module(spec: dict, nc: int, training: bool, chunkwise_kernel: str,
         return B.VisionClueMerge(c2=c2, training=training, name=mname)
     if name in {"Detect", "v10Detect"}:
         cls = H.v10Detect if name == "v10Detect" else H.Detect
+        # Pallas custom calls + the top-k gathers in one program fault the
+        # runtime; the sort-based postprocess is gather-free and safe.
         return cls(nc=args[0] if args else nc, ch=kw["ch"], training=training,
                    img_size=img_size, dtype=compute_dtype, decode_only=decode_only,
+                   sort_postprocess="pallas" in chunkwise_kernel,
                    fused=fused, name=mname)
     if name == "Segment":
         nm = args[1] if len(args) > 1 else 32
@@ -261,6 +266,16 @@ def build_module(spec: dict, nc: int, training: bool, chunkwise_kernel: str,
         return H.Pose(nc=args[0] if args else nc, kpt_shape=kpt, ch=kw["ch"],
                       training=training, img_size=img_size, dtype=compute_dtype,
                       fused=fused, name=mname)
+    if name == "OBB":
+        ne = args[1] if len(args) > 1 else 1
+        return H.OBB(nc=args[0] if args else nc, ne=ne, ch=kw["ch"],
+                     training=training, img_size=img_size, dtype=compute_dtype,
+                     fused=fused, name=mname)
+    if name == "Classify":
+        return H.Classify(c2=args[0] if args else nc,
+                          k=args[1] if len(args) > 1 else 1,
+                          s=args[2] if len(args) > 2 else 1,
+                          training=training, dtype=compute_dtype, name=mname)
     raise ValueError(f"no builder for module '{name}'")
 
 
@@ -317,7 +332,7 @@ class DetectionModel(nn.Module):
                 inp = out if f == -1 else saved[f]
             else:
                 inp = [out if j == -1 else saved[j] for j in f]
-            if spec["module"] in {"Detect", "v10Detect", "Segment", "Pose"}:
+            if spec["module"] in {"Detect", "v10Detect", "Segment", "Pose", "OBB"}:
                 out = layer(inp, img_hw=img_hw)
             else:
                 out = layer(inp)

@@ -143,6 +143,89 @@ def e2e_detect_loss(
     return l_m + l_o, items
 
 
+def v8_obb_loss(
+    preds: dict,  # {'one2many': feats, 'angle': (B, A, 1)}
+    gt_labels: jax.Array,  # (B, M) int32
+    gt_rboxes: jax.Array,  # (B, M, 5) xywhr image units
+    mask_gt: jax.Array,  # (B, M) bool
+    strides: Sequence[float],
+    nc: int = 80,
+    reg_max: int = 16,
+    tal_topk: int = 10,
+    box_gain: float = 7.5,
+    cls_gain: float = 0.5,
+    dfl_gain: float = 1.5,
+):
+    """Oriented-box loss: probiou box term + BCE cls + DFL on the
+    axis-aligned envelope (parity: ref:utils/loss.py:612-727 v8OBBLoss +
+    :116-137 RotatedBboxLoss)."""
+    from xlstm_yolo_tpu.utils.metrics import probiou
+    from xlstm_yolo_tpu.utils.tal import dist2rbox
+
+    feats = preds["one2many"]
+    angle = preds["angle"].astype(f32)  # (B, A, ne)
+    B = feats[0].shape[0]
+    no = nc + reg_max * 4
+    flat = jnp.concatenate([f.reshape(B, -1, no) for f in feats], axis=1)
+    pred_distri, pred_scores = flat[..., : reg_max * 4], flat[..., reg_max * 4 :]
+
+    feat_shapes = [f.shape[1:3] for f in feats]
+    anchor_points, stride_t = make_anchors(feat_shapes, strides, 0.5)
+
+    # drop degenerate rboxes (< 2px) like the reference (loss.py:661-663)
+    mask_gt = mask_gt.astype(bool) & (gt_rboxes[..., 2] >= 2) & (gt_rboxes[..., 3] >= 2)
+
+    dist = dfl_decode(pred_distri, reg_max)  # (B, A, 4) feature units
+    rbox4 = dist2rbox(dist.astype(f32), angle[..., :1], anchor_points[None])  # (B, A, 4)
+    pred_rboxes = jnp.concatenate([rbox4, angle[..., :1]], -1)  # (B, A, 5)
+
+    assign_boxes = jnp.concatenate(
+        [rbox4 * stride_t[None], angle[..., :1]], -1
+    )  # image units for the assigner
+    assign = task_aligned_assign(
+        jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores.astype(f32))),
+        jax.lax.stop_gradient(assign_boxes),
+        anchor_points * stride_t,
+        gt_labels,
+        gt_rboxes.astype(f32),
+        mask_gt,
+        topk=tal_topk,
+        num_classes=nc,
+        rotated=True,
+    )
+    target_scores = assign.target_scores
+    tb = assign.target_bboxes  # (B, A, 5) image units
+    target_rboxes = jnp.concatenate([tb[..., :4] / stride_t[None], tb[..., 4:]], -1)
+    fg = assign.fg_mask
+
+    tss = jnp.maximum(target_scores.sum(), 1.0)
+    loss_cls = _bce_logits(pred_scores.astype(f32), target_scores).sum() / tss
+
+    weight = target_scores.sum(-1) * fg
+    iou = probiou(pred_rboxes, target_rboxes)
+    iou = jnp.where(fg, iou, 1.0)
+    loss_box = ((1.0 - iou) * weight).sum() / tss
+
+    # DFL on the axis-aligned envelope of the rotated target (RotatedBboxLoss)
+    cxy, wh = target_rboxes[..., :2], target_rboxes[..., 2:4]
+    target_xyxy = jnp.concatenate([cxy - wh / 2, cxy + wh / 2], -1)
+    target_ltrb = bbox2dist(anchor_points[None], target_xyxy, reg_max - 1)
+    dfl = _dfl_loss(pred_distri.reshape(B, -1, 4, reg_max), target_ltrb, reg_max)
+    loss_dfl = (jnp.where(fg, dfl, 0.0) * weight).sum() / tss
+
+    items = LossItems(loss_box * box_gain, loss_cls * cls_gain, loss_dfl * dfl_gain)
+    total = (items.box + items.cls + items.dfl) * B
+    return total, items
+
+
+def v8_classification_loss(logits: jax.Array, labels: jax.Array):
+    """Mean softmax cross-entropy (parity: ref:utils/loss.py:601-609)."""
+    logp = jax.nn.log_softmax(logits.astype(f32), axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32), axis=-1)[:, 0]
+    loss = nll.mean()
+    return loss, loss
+
+
 # OKS sigmas for the 17 COCO keypoints (parity: ref:utils/loss.py OKS_SIGMA)
 OKS_SIGMA = jnp.asarray(
     [0.26, 0.25, 0.25, 0.35, 0.35, 0.79, 0.79, 0.72, 0.72, 0.62, 0.62,

@@ -64,6 +64,61 @@ def bbox_iou(box1, box2, xywh: bool = True, kind: str = "iou", eps: float = 1e-7
     return (iou - (rho2 / c2 + v * alpha)).squeeze(-1)
 
 
+def _rbox_covariance(boxes, eps: float = 1e-7):
+    """xywhr (..., 5) -> Gaussian covariance terms (a, b, c).
+
+    Parity: metrics.py:178-196 (_get_covariance_matrix): a uniform box is
+    modelled as a Gaussian with variances w^2/12, h^2/12 rotated by r.
+    """
+    a = boxes[..., 2] ** 2 / 12.0
+    b = boxes[..., 3] ** 2 / 12.0
+    c = boxes[..., 4]
+    cos, sin = jnp.cos(c), jnp.sin(c)
+    cos2, sin2 = cos**2, sin**2
+    return a * cos2 + b * sin2, a * sin2 + b * cos2, (a - b) * cos * sin
+
+
+def probiou(obb1, obb2, ciou: bool = False, eps: float = 1e-7):
+    """Probabilistic IoU between broadcastable rotated-box arrays (..., 5).
+
+    Parity: metrics.py:198-242 (probiou; Llerena et al. 2021) — the
+    Bhattacharyya distance between the boxes' Gaussian embeddings,
+    mapped to 1 - Hellinger.  Elementwise over broadcast shapes like
+    :func:`bbox_iou` (callers expand for N x M grids).
+    """
+    obb1 = obb1.astype(f32)
+    obb2 = obb2.astype(f32)
+    x1, y1 = obb1[..., 0], obb1[..., 1]
+    x2, y2 = obb2[..., 0], obb2[..., 1]
+    a1, b1, c1 = _rbox_covariance(obb1)
+    a2, b2, c2 = _rbox_covariance(obb2)
+
+    denom = (a1 + a2) * (b1 + b2) - (c1 + c2) ** 2 + eps
+    t1 = ((a1 + a2) * (y1 - y2) ** 2 + (b1 + b2) * (x1 - x2) ** 2) / denom * 0.25
+    t2 = ((c1 + c2) * (x2 - x1) * (y1 - y2)) / denom * 0.5
+    det1 = jnp.clip(a1 * b1 - c1**2, 0.0, None)
+    det2 = jnp.clip(a2 * b2 - c2**2, 0.0, None)
+    t3 = jnp.log((denom - eps) / (4.0 * jnp.sqrt(det1 * det2) + eps) + eps) * 0.5
+    bd = jnp.clip(t1 + t2 + t3, eps, 100.0)
+    hd = jnp.sqrt(1.0 - jnp.exp(-bd) + eps)
+    iou = 1.0 - hd
+    if ciou:  # aspect-ratio term only, as in the reference
+        w1, h1 = obb1[..., 2], obb1[..., 3]
+        w2, h2 = obb2[..., 2], obb2[..., 3]
+        v = (4 / math.pi**2) * (jnp.arctan(w2 / h2) - jnp.arctan(w1 / h1)) ** 2
+        alpha = jax.lax.stop_gradient(v / (v - iou + (1 + eps)))
+        return iou - v * alpha
+    return iou
+
+
+def rbox_iou_matrix(obb1: np.ndarray, obb2: np.ndarray) -> np.ndarray:
+    """ProbIoU matrix (N, M) on host, xywhr (parity: metrics.py:244 batch_probiou)."""
+    if len(obb1) == 0 or len(obb2) == 0:
+        return np.zeros((len(obb1), len(obb2)), np.float32)
+    out = probiou(jnp.asarray(obb1)[:, None, :], jnp.asarray(obb2)[None, :, :])
+    return np.asarray(out, np.float32)
+
+
 def box_iou_matrix(box1: np.ndarray, box2: np.ndarray, eps: float = 1e-7) -> np.ndarray:
     """Plain IoU matrix (N, M) on host, xyxy (parity: metrics.py:52 box_iou)."""
     a1 = box1[:, None, :2]

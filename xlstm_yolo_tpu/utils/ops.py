@@ -135,6 +135,67 @@ def nms_jax(boxes, scores, iou_thres: float = 0.45, max_out: int = 300):
     return keep_idx, keep_ok
 
 
+def nms_rotated_jax(rboxes, scores, iou_thres: float = 0.45, max_out: int = 300):
+    """Fixed-shape greedy NMS for rotated boxes using probiou
+    (parity: ref:utils/ops.py nms_rotated / utils/metrics.py batch_probiou).
+
+    rboxes: (N, 5) xywhr.  Returns (keep_idx (max_out,), keep_mask).
+    """
+    from xlstm_yolo_tpu.utils.metrics import probiou
+
+    N = rboxes.shape[0]
+
+    def body(i, carry):
+        scores_live, keep_idx, keep_ok = carry
+        j = jnp.argmax(scores_live)
+        ok = scores_live[j] > -jnp.inf
+        keep_idx = keep_idx.at[i].set(jnp.where(ok, j, -1))
+        keep_ok = keep_ok.at[i].set(ok)
+        iou = probiou(rboxes[j][None], rboxes)  # (N,)
+        suppress = (iou > iou_thres) | (jnp.arange(N) == j)
+        scores_live = jnp.where(suppress & ok, -jnp.inf, scores_live)
+        return scores_live, keep_idx, keep_ok
+
+    keep_idx = jnp.full((max_out,), -1, jnp.int32)
+    keep_ok = jnp.zeros((max_out,), bool)
+    _, keep_idx, keep_ok = jax.lax.fori_loop(
+        0, max_out, body, (scores, keep_idx, keep_ok)
+    )
+    return keep_idx, keep_ok
+
+
+def non_max_suppression_rotated(
+    preds,  # (B, A, 4+nc+1) decoded [xywh, cls probs..., angle]
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    nc: int | None = None,
+):
+    """Batched rotated NMS -> ((B, max_det, 7) [xywhr, conf, cls], valid).
+
+    Parity: ref:utils/ops.py non_max_suppression(rotated=True) reduced to
+    fixed shapes: best-class selection, probiou greedy suppression.
+    """
+    nc = nc if nc is not None else preds.shape[-1] - 5
+    xywh = preds[..., :4]
+    angle = preds[..., 4 + nc :][..., 0:1]
+    cls_scores = preds[..., 4 : 4 + nc]
+    conf = cls_scores.max(-1)
+    cls = cls_scores.argmax(-1).astype(preds.dtype)
+    rb = jnp.concatenate([xywh, angle], -1)  # (B, A, 5)
+    masked = jnp.where(conf > conf_thres, conf, -jnp.inf)
+
+    def per_image(r, s):
+        return nms_rotated_jax(r, s, iou_thres, max_det)
+
+    idx, ok = jax.vmap(per_image)(rb, masked)
+    take = lambda arr: jnp.take_along_axis(arr, jnp.clip(idx, 0, None)[..., None], axis=1)
+    out = jnp.concatenate(
+        [take(rb), take(conf[..., None]), take(cls[..., None])], axis=-1
+    )
+    return out, ok
+
+
 def non_max_suppression(
     preds,  # (B, A, 4+nc) decoded xywh(+cls-prob) like Detect._inference output
     conf_thres: float = 0.25,

@@ -58,6 +58,51 @@ def bbox2dist(anchor_points, bbox, reg_max: float):
     return jnp.clip(d, 0, reg_max - 0.01)
 
 
+def dist2rbox(pred_dist, pred_angle, anchor_points, axis: int = -1):
+    """ltrb distances + angle -> rotated boxes (x, y, w, h) with the center
+    displaced along the rotated frame (parity: tal.py:367-386 dist2rbox)."""
+    lt, rb = jnp.split(pred_dist, 2, axis=axis)
+    cos, sin = jnp.cos(pred_angle), jnp.sin(pred_angle)
+    xf, yf = jnp.split((rb - lt) / 2, 2, axis=axis)
+    x = xf * cos - yf * sin
+    y = xf * sin + yf * cos
+    xy = jnp.concatenate([x, y], axis=axis) + anchor_points
+    return jnp.concatenate([xy, lt + rb], axis=axis)
+
+
+def xywhr2xyxyxyxy(rboxes):
+    """xywhr (..., 5) -> 4 corner points (..., 4, 2)
+    (parity: ref:utils/ops.py xywhr2xyxyxyxy)."""
+    ctr = rboxes[..., :2]
+    w, h, angle = rboxes[..., 2:3], rboxes[..., 3:4], rboxes[..., 4:5]
+    cos, sin = jnp.cos(angle), jnp.sin(angle)
+    vec1 = jnp.concatenate([w / 2 * cos, w / 2 * sin], -1)
+    vec2 = jnp.concatenate([-h / 2 * sin, h / 2 * cos], -1)
+    return jnp.stack(
+        [ctr + vec1 + vec2, ctr + vec1 - vec2, ctr - vec1 - vec2, ctr - vec1 + vec2],
+        axis=-2,
+    )
+
+
+def _candidates_in_rotated_gts(anc_points, gt_rboxes, eps: float = 1e-9):
+    """(A, 2) anchor centers inside (B, M, 5) rotated gts -> (B, M, A) bool.
+
+    Parity: tal.py:305-330 (RotatedTaskAlignedAssigner
+    .select_candidates_in_gts): project the anchor onto the box's edge
+    frame and test both coordinates against the edge lengths.
+    """
+    corners = xywhr2xyxyxyxy(gt_rboxes)  # (B, M, 4, 2)
+    a, b, _, d = (corners[..., i, :] for i in range(4))
+    ab = b - a  # (B, M, 2)
+    ad = d - a
+    ap = anc_points[None, None] - a[..., None, :]  # (B, M, A, 2)
+    norm_ab = (ab * ab).sum(-1, keepdims=True)  # (B, M, 1)
+    norm_ad = (ad * ad).sum(-1, keepdims=True)
+    ap_ab = (ap * ab[..., None, :]).sum(-1)  # (B, M, A)
+    ap_ad = (ap * ad[..., None, :]).sum(-1)
+    return (ap_ab >= eps) & (ap_ab <= norm_ab) & (ap_ad >= eps) & (ap_ad <= norm_ad)
+
+
 class AssignResult(NamedTuple):
     target_labels: jax.Array  # (B, A) int32
     target_bboxes: jax.Array  # (B, A, 4)
@@ -78,22 +123,28 @@ def task_aligned_assign(
     alpha: float = 0.5,
     beta: float = 6.0,
     eps: float = 1e-9,
+    rotated: bool = False,
 ) -> AssignResult:
     """Assign gts to anchors by s^alpha * IoU^beta (fixed shapes).
 
-    Parity: tal.py:83-125 (_forward) with masked-dense semantics.
+    Parity: tal.py:83-125 (_forward) with masked-dense semantics.  With
+    ``rotated`` the boxes are (..., 5) xywhr and the overlap metric is
+    probiou (parity: tal.py:298-330 RotatedTaskAlignedAssigner).
     """
     B, A, nc = pd_scores.shape
     M = gt_bboxes.shape[1]
     mask_gt = mask_gt.astype(bool)  # (B, M)
 
     # 1) anchors whose center lies inside each gt box  (B, M, A)
-    lt = gt_bboxes[..., None, :2]  # (B, M, 1, 2)
-    rb = gt_bboxes[..., None, 2:]
-    deltas = jnp.concatenate(
-        [anc_points[None, None] - lt, rb - anc_points[None, None]], axis=-1
-    )  # (B, M, A, 4)
-    mask_in_gts = deltas.min(-1) > eps  # (B, M, A)
+    if rotated:
+        mask_in_gts = _candidates_in_rotated_gts(anc_points, gt_bboxes, eps)
+    else:
+        lt = gt_bboxes[..., None, :2]  # (B, M, 1, 2)
+        rb = gt_bboxes[..., None, 2:]
+        deltas = jnp.concatenate(
+            [anc_points[None, None] - lt, rb - anc_points[None, None]], axis=-1
+        )  # (B, M, A, 4)
+        mask_in_gts = deltas.min(-1) > eps  # (B, M, A)
 
     valid = mask_in_gts & mask_gt[..., None]  # (B, M, A)
 
@@ -106,9 +157,14 @@ def task_aligned_assign(
     )  # (B, M, A)
     bbox_scores = jnp.where(valid, bbox_scores, 0.0)
 
-    ious = bbox_iou(
-        gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :], xywh=False, kind="ciou"
-    )  # (B, M, A)
+    if rotated:
+        from xlstm_yolo_tpu.utils.metrics import probiou
+
+        ious = probiou(gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :])
+    else:
+        ious = bbox_iou(
+            gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :], xywh=False, kind="ciou"
+        )  # (B, M, A)
     overlaps = jnp.where(valid, jnp.clip(ious, 0.0, None), 0.0)
 
     align_metric = bbox_scores.astype(f32) ** alpha * overlaps.astype(f32) ** beta
