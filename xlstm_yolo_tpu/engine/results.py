@@ -151,7 +151,6 @@ class Probs:
         return self.data[self.top5]
 
 
-@dataclass
 class OBB:
     """Oriented boxes: (N, 7) [cx, cy, w, h, angle, conf, cls] in image px
     (parity: ref:engine/results.py OBB container)."""
@@ -196,6 +195,7 @@ class OBB:
         return np.concatenate([c.min(1), c.max(1)], -1)
 
 
+@dataclass
 class Results:
     """One image's predictions (parity: results.py:187-1000)."""
 
