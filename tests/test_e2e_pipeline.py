@@ -226,3 +226,105 @@ def test_augmented_loader_mosaic_mixup(synth_dataset):
     ds.transforms.mosaic_enabled = False
     s = ds.get_sample(0, __import__("random").Random(0))
     assert s["img"].shape == (160, 160, 3)
+
+
+@pytest.fixture(scope="module")
+def synth_obb_dataset(tmp_path_factory):
+    """8 images with 1-3 rotated colored boxes; DOTA yolo-obb labels
+    (class + 4 corner points, normalized)."""
+    import cv2
+
+    root = tmp_path_factory.mktemp("synthobb")
+    for split in ("train", "val"):
+        (root / "images" / split).mkdir(parents=True)
+        (root / "labels" / split).mkdir(parents=True)
+        rng = random.Random(3)
+        for i in range(8):
+            img = np.full((160, 160, 3), 90, np.uint8)
+            lines = []
+            for _ in range(rng.randint(1, 3)):
+                cx, cy = rng.randint(40, 120), rng.randint(40, 120)
+                w, h = rng.randint(24, 56), rng.randint(16, 40)
+                ang = rng.uniform(0, np.pi / 2)
+                c = rng.randint(0, 1)
+                color = (0, 0, 255) if c == 0 else (255, 0, 0)
+                box = cv2.boxPoints(((cx, cy), (w, h), np.degrees(ang)))
+                cv2.fillPoly(img, [box.astype(np.int32)], color)
+                pts = np.clip(box / 160.0, 0, 1).reshape(-1)
+                lines.append(f"{c} " + " ".join(f"{p:.4f}" for p in pts))
+            cv2.imwrite(str(root / "images" / split / f"{i:03d}.jpg"), img)
+            (root / "labels" / split / f"{i:03d}.txt").write_text("\n".join(lines))
+    data_yaml = root / "data.yaml"
+    data_yaml.write_text(yaml.safe_dump({
+        "path": str(root), "train": "images/train", "val": "images/val",
+        "names": {0: "red", 1: "blue"}, "nc": 2,
+    }))
+    return data_yaml
+
+
+def test_obb_train_val_predict(synth_obb_dataset, tmp_path):
+    """OBB task end-to-end: dataset rbox targets -> train epoch -> rotated
+    val -> predictor Results.obb."""
+    from xlstm_yolo_tpu.engine.trainer import DetectionTrainer
+
+    cfg_obb = CFG_TINY.parent / "vil-det-tiny-obb.yaml"
+    tr = DetectionTrainer(
+        overrides={
+            "model": str(cfg_obb), "data": str(synth_obb_dataset),
+            "task": "obb", "imgsz": 160, "epochs": 1, "batch": 4,
+            "workers": 2, "max_targets": 16, "optimizer": "SGD",
+            "lr0": 0.01, "amp": False, "project": str(tmp_path / "runs"),
+            "val": True, "plots": False,
+        },
+        model_cfg=str(cfg_obb),
+    )
+    metrics = tr.train()
+    assert "fitness" in metrics
+
+    from xlstm_yolo_tpu.engine.model import YOLO
+
+    m = YOLO(str(cfg_obb), task="obb")
+    img = np.full((200, 300, 3), 90, np.uint8)
+    res = m.predict(source=img, imgsz=160, conf=0.0)
+    assert res[0].obb is not None
+    if len(res[0].obb):
+        assert res[0].obb.xyxyxyxy.shape[1:] == (4, 2)
+
+
+def test_classify_train_val_predict(tmp_path):
+    """Classification task end-to-end on a folder dataset."""
+    import cv2
+
+    root = tmp_path / "clsds"
+    rng = random.Random(5)
+    for split in ("train", "val"):
+        for c, color in (("red", (0, 0, 255)), ("blue", (255, 0, 0))):
+            d = root / split / c
+            d.mkdir(parents=True)
+            for i in range(4):
+                img = np.full((180, 200, 3), 80, np.uint8)
+                cv2.circle(img, (rng.randint(60, 140), rng.randint(60, 120)),
+                           rng.randint(20, 50), color, -1)
+                cv2.imwrite(str(d / f"{i}.jpg"), img)
+
+    from xlstm_yolo_tpu.engine.trainer import DetectionTrainer
+
+    cfg_cls = CFG_TINY.parent / "vil-cls-tiny.yaml"
+    tr = DetectionTrainer(
+        overrides={
+            "model": str(cfg_cls), "data": str(root), "task": "classify",
+            "imgsz": 160, "epochs": 2, "batch": 4, "workers": 2,
+            "optimizer": "SGD", "lr0": 0.05, "amp": False,
+            "project": str(tmp_path / "runs"), "val": True, "plots": False,
+        },
+        model_cfg=str(cfg_cls),
+    )
+    metrics = tr.train()
+    assert "metrics/accuracy_top1" in metrics
+
+    from xlstm_yolo_tpu.engine.model import YOLO
+
+    m = YOLO(str(cfg_cls), task="classify")
+    img = np.full((180, 200, 3), 80, np.uint8)
+    res = m.predict(source=img, imgsz=160)
+    assert res[0].probs is not None and res[0].probs.top1 is not None

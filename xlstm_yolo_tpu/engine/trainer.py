@@ -242,7 +242,8 @@ class DetectionTrainer:
             self.epoch = epoch
             self.callbacks.run("on_train_epoch_start", self)
             if epoch == epochs - int(args.close_mosaic):
-                trainset.transforms and setattr(trainset.transforms, "mosaic_enabled", False)
+                tf = getattr(trainset, "transforms", None)
+                tf and setattr(tf, "mosaic_enabled", False)
 
             losses = []
             t_ep = time.time()
