@@ -305,3 +305,98 @@ def test_classify_head_and_loss(rng):
     probs, logits = me.apply(v, img)
     assert probs.shape == (4, 10)
     np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_rare_wrapper_blocks(rng):
+    """FeatureSplitIndex / PermuteBlock / FlattenPosEmbedBlock /
+    SequenceConv2dBlock / ConvTranspose / VisionLSTM monolith
+    (ref:ultralytics/nn/modules/block.py:1405,1621,1818,1864,2024;
+    conv.py:118)."""
+    import jax
+
+    from xlstm_yolo_tpu.nn import blocks as B
+
+    key = jax.random.PRNGKey(0)
+    seq = jnp.asarray(rng.normal(size=(2, 64, 32)), jnp.float32)
+
+    pb = B.PermuteBlock(seqlens=(8, 8))
+    y = pb.apply(pb.init(key, seq), seq)
+    assert y.shape == (2, 8, 8, 32)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(seq).reshape(2, 8, 8, 32))
+
+    fpe = B.FlattenPosEmbedBlock(dim=32, seqlens=(8, 8))
+    v = fpe.init(key, seq)
+    y = fpe.apply(v, seq)
+    assert y.shape == seq.shape
+    # zero-init pos embed => identity at init (reference trunc-normal-0 quirk aside)
+    pe = jax.tree.leaves(v["params"])[0]
+    assert pe.shape[-1] == 32
+
+    sc = B.SequenceConv2dBlock(c2=48, k=3, s=2, seqlens=(8, 8))
+    y = sc.apply(sc.init(key, seq), seq)
+    assert y.shape == (2, 16, 48)  # 8x8 grid strided to 4x4
+
+    img = jnp.asarray(rng.normal(size=(2, 8, 8, 32)), jnp.float32)
+    ct = B.ConvTransposeBlock(c2=16, k=2, s=2)
+    y = ct.apply(ct.init(key, img), img, mutable=["batch_stats"])[0]
+    assert y.shape == (2, 16, 16, 16)
+
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
+    vl = B.VisionLSTMBlock(dim=32, depth=2, patch_size=16,
+                           output_indices=(0,), qkv_block_size=16, chunk_size=4)
+    outs = vl.apply(vl.init(key, x), x)
+    assert isinstance(outs, list) and len(outs) == 2
+    assert outs[0].shape == (2, 2, 2, 32) and outs[-1].shape == (2, 2, 2, 32)
+
+    fsi = B.FeatureSplitIndex(index=1)
+    y = fsi.apply(fsi.init(key, outs), outs)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(outs[1]))
+
+
+def test_rare_blocks_yaml_graph():
+    """The rare blocks compile through parse_model_specs/DetectionModel."""
+    import jax
+
+    from xlstm_yolo_tpu.nn.tasks import build_detection_model
+
+    d = {
+        "nc": 4,
+        "imgsz": 64,
+        "backbone": [
+            [-1, 1, "VisionLSTM", [3, 32, {"depth": 2, "resolution": [64, 64],
+                                           "patch_size": 16, "output_indices": [0],
+                                           "chunk_size": 4, "qkv_block_size": 16}]],
+            [-1, 1, "FeatureSplitIndex", [0]],
+            [-1, 1, "Conv", [64, 3, 2]],
+        ],
+        "head": [
+            [-1, 1, "ConvTranspose", [32, 2, 2]],
+            [[-1], 1, "Detect", ["nc"]],
+        ],
+    }
+    model, _ = build_detection_model(d, training=True)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(v, x, mutable=["batch_stats"])[0]
+    # training-mode Detect emits the raw per-level feature maps
+    feats = out["one2many"] if isinstance(out, dict) else out
+    assert feats[0].shape[0] == 1 and feats[0].ndim == 4
+
+
+def test_topk_postprocess_variants_agree():
+    """sorted and matmul postprocess twins match the gather-based one."""
+    import jax
+
+    from xlstm_yolo_tpu.nn.head import (
+        topk_postprocess,
+        topk_postprocess_matmul,
+        topk_postprocess_sorted,
+    )
+
+    r = np.random.default_rng(3)
+    preds = jnp.asarray(r.uniform(size=(2, 130, 4 + 7)), jnp.float32)
+    preds = preds.at[..., :4].mul(64.0)
+    ref = np.asarray(topk_postprocess(preds, max_det=20, nc=7))
+    for fn in (topk_postprocess_matmul, topk_postprocess_sorted):
+        got = np.asarray(jax.jit(lambda p, fn=fn: fn(p, 20, 7))(preds))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)

@@ -752,3 +752,180 @@ class PSA(nn.Module):
                      dtype=self.dtype, name="psa")(b)
         return ConvBNAct(self.c2, 1, training=self.training, dtype=self.dtype,
                          name="cv2")(jnp.concatenate([a, b], axis=-1))
+
+
+# ---------------------------------------------------------------------------
+# rare wrapper blocks (experimental-yaml surface parity)
+# ---------------------------------------------------------------------------
+
+
+class FeatureSplitIndex(nn.Module):
+    """Select one tensor from a multi-output layer (parity: block.py:1405-1415).
+
+    Pairs with ``VisionLSTM``-style blocks that emit a list of feature
+    maps; the YAML routes the list here and this block picks ``index``.
+    """
+
+    index: int
+
+    @nn.compact
+    def __call__(self, xs):
+        if not isinstance(xs, (list, tuple)):
+            raise ValueError("FeatureSplitIndex input must be a list/tuple")
+        if self.index >= len(xs):
+            raise ValueError(f"index {self.index} out of range ({len(xs)} outputs)")
+        return xs[self.index]
+
+
+class PermuteBlock(nn.Module):
+    """(B, S, D) -> (B, H, W, D) grid (parity: block.py:1864-1878).
+
+    The torch block emits the channels-last grid via einops; under NHWC
+    this is the same reshape ``SequenceToImage`` performs.
+    """
+
+    seqlens: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x):
+        B, S, D = x.shape
+        h, w = self.seqlens
+        assert S == h * w, f"S={S} != {h}*{w}"
+        return x.reshape(B, h, w, D)
+
+
+class FlattenPosEmbedBlock(nn.Module):
+    """Pos-embed a flattened (B, S, D) sequence (parity: block.py:1818-1862).
+
+    Reshapes to the (H, W) grid, adds the learned 2d positional
+    embedding, and flattens back — for graphs that stay in sequence
+    layout between ViL stages.
+    """
+
+    dim: int
+    seqlens: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x):
+        B, S, D = x.shape
+        h, w = self.seqlens
+        assert S == h * w and len(self.seqlens) == 2
+        y = VitPosEmbed2d(seqlens=(h, w), dim=self.dim, name="module")(
+            x.reshape(B, h, w, D)
+        )
+        return y.reshape(B, S, D)
+
+
+class SequenceConv2dBlock(nn.Module):
+    """Strided full conv on a flattened sequence (parity: block.py:1621-1647).
+
+    The reference wraps ``SequenceConv2d(in, out, k, stride)`` with
+    padding k//2 when stride>1 (downsampling) and 0 otherwise; output is
+    re-flattened at the reduced grid size.
+    """
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    seqlens: Sequence[int] | None = None
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        B, S, D = x.shape
+        if self.seqlens is None:
+            h = int(round(math.sqrt(S)))
+            assert h * h == S, f"S={S} is not square; pass seqlens"
+            w = h
+        else:
+            h, w = self.seqlens
+        pad = self.k // 2 if self.s > 1 else 0
+        y = nn.Conv(
+            self.c2, (self.k, self.k), strides=(self.s, self.s),
+            padding=[(pad, pad), (pad, pad)], use_bias=True, dtype=self.dtype,
+            name="conv",
+        )(x.reshape(B, h, w, D))
+        return y.reshape(B, y.shape[1] * y.shape[2], self.c2)
+
+
+class ConvTransposeBlock(nn.Module):
+    """Transposed conv + BN + SiLU (parity: conv.py:118-137 ConvTranspose)."""
+
+    c2: int
+    k: int = 2
+    s: int = 2
+    p: int = 0
+    act: str | None = "silu"
+    training: bool = False
+    dtype: Any = None
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        assert not (self.fused and self.training), "fused conv is eval-only"
+        # torch ConvTranspose2d(k, s, p) -> flax explicit pad (k-1-p):
+        # out = (i-1)*s - 2p + k on both frameworks under this mapping
+        fp = self.k - 1 - self.p
+        y = nn.ConvTranspose(
+            self.c2, (self.k, self.k), strides=(self.s, self.s),
+            padding=[(fp, fp), (fp, fp)], use_bias=self.fused,
+            dtype=self.dtype, name="conv",
+        )(x)
+        if not self.fused:
+            y = nn.BatchNorm(
+                use_running_average=not self.training, momentum=0.97,
+                epsilon=1e-3, dtype=self.dtype, name="bn",
+            )(y)
+        return _act(y, self.act)
+
+
+class VisionLSTMBlock(nn.Module):
+    """Whole-backbone ViL monolith with multi-scale taps (parity:
+    block.py:2024-2077 ``VisionLSTM``).
+
+    patch-embed -> pos-embed -> ``depth`` ViLBlockPairs; after each index
+    in ``output_indices`` the (shared) final LayerNorm + optional
+    seq->image reshape is applied and the tap appended; returns the list
+    of taps with the final output last — consumed by FeatureSplitIndex.
+    """
+
+    dim: int
+    depth: int = 12
+    resolution: Sequence[int] = (224, 224)
+    patch_size: int = 16
+    output_indices: Sequence[int] = ()
+    pooling: str = "to_image"
+    drop_path: float = 0.0
+    chunk_size: int = 256
+    qkv_block_size: int = 16
+    training: bool = False
+    chunkwise_kernel: str = "chunkwise--native_autograd"
+    compute_dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        assert self.depth > (max(self.output_indices) if self.output_indices else 0)
+        ps = (self.patch_size, self.patch_size)
+        y = VitPatchEmbed(dim=self.dim, patch_size=ps, dtype=self.compute_dtype,
+                          name="patch_embed")(x)
+        B, h, w, D = y.shape
+        y = VitPosEmbed2d(seqlens=(h, w), dim=self.dim, name="pos_embed")(y)
+        y = y.reshape(B, h * w, D)
+        norm = nn.LayerNorm(name="norm")  # shared across taps, like the reference
+
+        def tap(seq):
+            o = norm(seq)
+            return o.reshape(B, h, w, D) if self.pooling == "to_image" else o
+
+        outs = []
+        for i in range(self.depth):
+            y = ViLBlockPair(
+                dim=self.dim, drop_path=self.drop_path, seqlens=(h, w),
+                chunk_size=self.chunk_size, qkv_block_size=self.qkv_block_size,
+                training=self.training, chunkwise_kernel=self.chunkwise_kernel,
+                compute_dtype=self.compute_dtype, name=f"blocks_{i}",
+            )(y)
+            if i in tuple(self.output_indices):
+                outs.append(tap(y))
+        outs.append(tap(y))
+        return outs

@@ -96,6 +96,40 @@ def topk_postprocess_sorted(preds: jax.Array, max_det: int, nc: int = 80) -> jax
     ).astype(preds.dtype)
 
 
+def topk_postprocess_matmul(preds: jax.Array, max_det: int, nc: int = 80) -> jax.Array:
+    """Gather-free twin of :func:`topk_postprocess` for the TPU runtime.
+
+    Same two-stage v10 top-k semantics (head.py:311-333), but row
+    selection is a one-hot matmul on the MXU instead of
+    ``take_along_axis`` (which lowers to gather — co-compiling gathers
+    with Pallas custom calls faults the current TPU runtime, see
+    docs/KNOWN_ISSUES.md).  ``lax.top_k`` itself lowers to a 2-operand
+    variadic sort + slice, which is safe; this shape also compiles and
+    runs far faster than an 85-operand payload sort
+    (:func:`topk_postprocess_sorted`).
+    """
+    B, A, _ = preds.shape
+    boxes, scores = preds[..., :4], preds[..., 4:]
+    k = min(max_det, A)
+    best = scores.max(-1)  # (B, A)
+
+    # stage 1: top-k anchors; fetch their rows with a one-hot matmul
+    _, idx = jax.lax.top_k(best, k)  # sort-lowered, no gather
+    onehot = (idx[..., None] == jnp.arange(A)[None, None]).astype(preds.dtype)
+    rows = jnp.einsum("bka,bac->bkc", onehot, preds)  # (B, k, 4+nc) on the MXU
+    boxes_k, scores_k = rows[..., :4], rows[..., 4:]
+
+    # stage 2: top-k over the flattened (k*nc) class scores
+    out_scores, flat_idx = jax.lax.top_k(scores_k.reshape(B, k * nc), k)
+    anchor_idx = flat_idx // nc
+    cls_idx = (flat_idx % nc).astype(preds.dtype)
+    oh2 = (anchor_idx[..., None] == jnp.arange(k)[None, None]).astype(preds.dtype)
+    out_boxes = jnp.einsum("bkj,bjc->bkc", oh2, boxes_k)  # (B, k, 4)
+    return jnp.concatenate(
+        [out_boxes, out_scores[..., None], cls_idx[..., None]], axis=-1
+    )
+
+
 class Detect(nn.Module):
     """YOLO detect head (DFL box branch + cls branch), NHWC.
 
@@ -189,7 +223,7 @@ class Detect(nn.Module):
                 return {"one2many": one2many, "one2one": one2one}
             y = self._decode(one2one, strides)
             if not self.decode_only:
-                post = topk_postprocess_sorted if self.sort_postprocess else topk_postprocess
+                post = topk_postprocess_matmul if self.sort_postprocess else topk_postprocess
                 y = post(y, self.max_det, self.nc)
             return y, {"one2many": one2many, "one2one": one2one}
 

@@ -117,7 +117,12 @@ def parse_model_specs(d: dict, ch: int = 3, scale: str | None = None):
             c2 = args[1]
         elif name == "VisionClueMerge":
             c2 = args[1]
-        elif name in {"PatchMerger", "SequenceToImage", "Upsample"}:
+        elif name in {"FlattenPosEmbedBlock", "SequenceConv2dBlock", "VisionLSTM"}:
+            c2 = args[1]
+        elif name == "ConvTranspose":
+            c2 = args[0]
+        elif name in {"PatchMerger", "SequenceToImage", "Upsample",
+                      "FeatureSplitIndex", "PermuteBlock"}:
             c2 = ch_list[f]
         elif name == "Concat":
             c2 = sum(ch_list[x] for x in f)
@@ -151,7 +156,7 @@ def _vil_config(args_cfg: dict) -> dict:
 
 def build_module(spec: dict, nc: int, training: bool, chunkwise_kernel: str,
                  compute_dtype, img_size: int, decode_only: bool = False,
-                 fused: bool = False):
+                 fused: bool = False, sort_postprocess: bool | None = None):
     """Instantiate the flax module for one layer spec."""
     name, args, kw = spec["module"], spec["args"], spec["kwargs"]
     vilkw = dict(training=training, chunkwise_kernel=chunkwise_kernel,
@@ -247,13 +252,44 @@ def build_module(spec: dict, nc: int, training: bool, chunkwise_kernel: str,
     if name == "VisionClueMerge":
         c2 = args[1]
         return B.VisionClueMerge(c2=c2, training=training, name=mname)
+    if name == "FeatureSplitIndex":
+        return B.FeatureSplitIndex(index=int(args[0]), name=mname)
+    if name == "PermuteBlock":
+        (seqlens,) = args
+        return B.PermuteBlock(seqlens=tuple(seqlens), name=mname)
+    if name == "FlattenPosEmbedBlock":
+        _, c2, seqlens = args
+        return B.FlattenPosEmbedBlock(dim=c2, seqlens=tuple(seqlens), name=mname)
+    if name == "SequenceConv2dBlock":
+        _, c2, k, s, cfg = args
+        return B.SequenceConv2dBlock(c2=c2, k=int(k), s=int(s),
+                                     seqlens=tuple(cfg["seqlens"]),
+                                     dtype=compute_dtype, name=mname)
+    if name == "ConvTranspose":
+        return B.ConvTransposeBlock(c2=args[0], k=args[1] if len(args) > 1 else 2,
+                                    s=args[2] if len(args) > 2 else 2,
+                                    training=training, fused=fused,
+                                    dtype=compute_dtype, name=mname)
+    if name == "VisionLSTM":
+        _, dim, cfg = args if len(args) > 2 else (*args, {})
+        return B.VisionLSTMBlock(
+            dim=dim, depth=int(cfg.get("depth", 12)),
+            resolution=tuple(cfg.get("resolution", (224, 224))),
+            patch_size=int(cfg.get("patch_size", 16)),
+            output_indices=tuple(cfg.get("output_indices", ())),
+            pooling=cfg.get("pooling", "to_image"),
+            drop_path=float(cfg.get("drop_path", 0.0)),
+            chunk_size=int(cfg.get("chunk_size", 256)),
+            qkv_block_size=int(cfg.get("qkv_block_size", 16)),
+            **vilkw, name=mname)
     if name in {"Detect", "v10Detect"}:
         cls = H.v10Detect if name == "v10Detect" else H.Detect
         # Pallas custom calls + the top-k gathers in one program fault the
         # runtime; the sort-based postprocess is gather-free and safe.
+        sp = ("pallas" in chunkwise_kernel) if sort_postprocess is None else sort_postprocess
         return cls(nc=args[0] if args else nc, ch=kw["ch"], training=training,
                    img_size=img_size, dtype=compute_dtype, decode_only=decode_only,
-                   sort_postprocess="pallas" in chunkwise_kernel,
+                   sort_postprocess=sp,
                    fused=fused, name=mname)
     if name == "Segment":
         nm = args[1] if len(args) > 1 else 32
@@ -311,13 +347,14 @@ class DetectionModel(nn.Module):
     img_size: int = 640
     decode_only: bool = False
     fused: bool = False  # eval-only: convs carry folded-BN biases
+    sort_postprocess: bool | None = None  # None = auto (Pallas kernels)
 
     def setup(self):
         self.layers = [
             build_module(
                 s, self.nc, self.training, self.chunkwise_kernel,
                 self.compute_dtype, self.img_size, self.decode_only,
-                self.fused,
+                self.fused, self.sort_postprocess,
             )
             for s in self.specs
         ]
@@ -351,6 +388,7 @@ def build_detection_model(
     compute_dtype=None,
     decode_only: bool = False,
     fused: bool = False,
+    sort_postprocess: bool | None = None,
 ) -> tuple[DetectionModel, dict]:
     """Compile a model YAML into a DetectionModel (+ resolved cfg dict)."""
     d = yaml_model_load(cfg)
@@ -368,5 +406,6 @@ def build_detection_model(
         img_size=int(d.get("imgsz", 640)),
         decode_only=decode_only,
         fused=fused,
+        sort_postprocess=sort_postprocess,
     )
     return model, d
