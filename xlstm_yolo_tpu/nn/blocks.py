@@ -221,7 +221,9 @@ class PatchMerger(nn.Module):
 
     @nn.compact
     def __call__(self, x):  # (B, N, D) -> (B, M, D)
-        xn = nn.LayerNorm(name="norm")(x)
+        # operands in the input dtype (bf16 in-model), f32 accumulation —
+        # the LayerNorm otherwise promotes the whole block to f32 dots
+        xn = nn.LayerNorm(name="norm")(x).astype(x.dtype)
         queries = self.param(
             "queries", nn.initializers.normal(stddev=1.0),
             (self.num_tokens_out, self.dim), f32,

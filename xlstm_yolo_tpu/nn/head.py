@@ -172,6 +172,7 @@ class Detect(nn.Module):
             box = nn.Conv(
                 4 * self.reg_max, (1, 1),
                 bias_init=nn.initializers.constant(1.0),
+                dtype=self.dtype,
                 name=f"cv2{suffix}_{i}_2",
             )(box)
 
@@ -191,6 +192,7 @@ class Detect(nn.Module):
             cls = nn.Conv(
                 self.nc, (1, 1),
                 bias_init=nn.initializers.constant(bias_val),
+                dtype=self.dtype,
                 name=f"cv3{suffix}_{i}_2",
             )(cls)
             outs.append(jnp.concatenate([box, cls], axis=-1))
@@ -282,7 +284,7 @@ class Segment(Detect):
                            dtype=self.dtype, name=f"cv4_{i}_0")(x)
             mc = ConvBNAct(c4, 3, training=self.training, fused=self.fused,
                            dtype=self.dtype, name=f"cv4_{i}_1")(mc)
-            mc = nn.Conv(self.nm, (1, 1), name=f"cv4_{i}_2")(mc)
+            mc = nn.Conv(self.nm, (1, 1), dtype=self.dtype, name=f"cv4_{i}_2")(mc)
             outs.append(mc.reshape(mc.shape[0], -1, self.nm))
         return jnp.concatenate(outs, axis=1)  # (B, A, nm)
 
@@ -322,7 +324,7 @@ class OBB(Detect):
                           dtype=self.dtype, name=f"cv4_{i}_0")(x)
             a = ConvBNAct(c4, 3, training=self.training, fused=self.fused,
                           dtype=self.dtype, name=f"cv4_{i}_1")(a)
-            a = nn.Conv(self.ne, (1, 1), name=f"cv4_{i}_2")(a)
+            a = nn.Conv(self.ne, (1, 1), dtype=self.dtype, name=f"cv4_{i}_2")(a)
             outs.append(a.reshape(a.shape[0], -1, self.ne))
         return jnp.concatenate(outs, axis=1)  # (B, A, ne)
 
@@ -374,7 +376,7 @@ class Pose(Detect):
                           dtype=self.dtype, name=f"cv4_{i}_0")(x)
             k = ConvBNAct(c4, 3, training=self.training, fused=self.fused,
                           dtype=self.dtype, name=f"cv4_{i}_1")(k)
-            k = nn.Conv(nk, (1, 1), name=f"cv4_{i}_2")(k)
+            k = nn.Conv(nk, (1, 1), dtype=self.dtype, name=f"cv4_{i}_2")(k)
             outs.append(k.reshape(k.shape[0], -1, nk))
         return jnp.concatenate(outs, axis=1)  # (B, A, nk)
 

@@ -109,7 +109,10 @@ def mlstm_siging_chunkwise(
     assert S % L == 0, f"S={S} not divisible by chunk_size={L} (use wrappers)"
     if qk_scale is None:
         qk_scale = DHQK**-0.5
-    cd = compute_dtype or f32
+    # matmul-operand dtype follows the input: bf16 in -> bf16 operands with
+    # f32 accumulation (the reference Triton kernels' tl.dot semantics,
+    # fw_kernel_parallel.py); f32 in (CPU goldens) stays f32.
+    cd = compute_dtype or (q.dtype if q.dtype in (jnp.bfloat16, jnp.float16) else f32)
 
     gates = chunkwise_log_gates(i, f, L)
     vecB, vecA, scaG = gates
@@ -163,11 +166,8 @@ def mlstm_siging_chunkwise(
     matS = jnp.einsum(
         "bhnld,bhnjd->bhnlj", qc.astype(cd), kc.astype(cd), preferred_element_type=f32
     ) * jnp.asarray(qk_scale, f32)
-    matSD = matS * matD
+    matSD = (matS * matD).astype(cd)
 
-    h_intra = jnp.einsum(
-        "bhnlj,bhnjv->bhnlv", matSD.astype(cd), vc.astype(cd), preferred_element_type=f32
-    )
     bbar = jnp.exp(vecB)  # (B, NH, NC, L)
     qbar = qc.astype(f32) * bbar[..., None] * jnp.asarray(qk_scale, f32)
     h_inter = jnp.einsum(
@@ -177,9 +177,19 @@ def mlstm_siging_chunkwise(
         preferred_element_type=f32,
     )
 
-    num = h_inter + h_intra
     if normalize:
-        n_intra = matSD.sum(axis=-1)  # (B, NH, NC, L)
+        # ones-augmented v: the (L, L) matSD feeds exactly ONE dot that
+        # yields both the numerator and the intra normalizer (f32 accum) —
+        # a single consumer lets XLA fuse matS's gate epilogue instead of
+        # materializing a second (B, NH, NC, L, L) buffer in HBM.
+        vc_ext = jnp.concatenate(
+            [vc.astype(cd), jnp.ones((B, NH, NC, L, 1), cd)], axis=-1
+        )
+        h_ext = jnp.einsum(
+            "bhnlj,bhnjv->bhnlv", matSD, vc_ext, preferred_element_type=f32
+        )
+        num = h_inter + h_ext[..., :DHHV]
+        n_intra = h_ext[..., DHHV]
         n_inter = jnp.einsum(
             "bhnld,bhnd->bhnl", qbar, n_prev, preferred_element_type=f32
         )
@@ -188,7 +198,10 @@ def mlstm_siging_chunkwise(
             den = jax.lax.stop_gradient(den)
         h = num / (den[..., None] + eps)
     else:
-        h = num
+        h_intra = jnp.einsum(
+            "bhnlj,bhnjv->bhnlv", matSD, vc.astype(cd), preferred_element_type=f32
+        )
+        h = h_inter + h_intra
 
     h = h.reshape(B, NH, S, DHHV).astype(q.dtype)
     if return_last_states:
@@ -250,6 +263,7 @@ def mlstm_chunkwise_stabilized(
     vecA = tail + ic  # raw i, may be > 0
     scaG = vecB[..., -1]  # (B, NH, NC)
 
+    cd = q.dtype if q.dtype in (jnp.bfloat16, jnp.float16) else f32
     qc = _split_chunks(q, L).astype(f32)
     kc = _split_chunks(k, L).astype(f32)
     vc = _split_chunks(v, L).astype(f32)
@@ -300,20 +314,32 @@ def mlstm_chunkwise_stabilized(
 
     matD = jnp.exp(logD - m_comb[..., None])
     matS = (
-        jnp.einsum("bhnld,bhnjd->bhnlj", qc, kc, preferred_element_type=f32)
+        jnp.einsum(
+            "bhnld,bhnjd->bhnlj", qc.astype(cd), kc.astype(cd),
+            preferred_element_type=f32,
+        )
         * qk_scale
     )
-    matSD = matS * matD
+    matSD = (matS * matD).astype(cd)
 
     bbar = jnp.exp(b_inter - m_comb)
     qbar = qc * bbar[..., None] * qk_scale
 
+    # single consumer for the (L, L) matSD: ones-augmented v gives the
+    # numerator and intra normalizer from one dot with f32 accumulation
+    vc_ext = jnp.concatenate(
+        [vc.astype(cd), jnp.ones((B, NH, NC, L, 1), cd)], axis=-1
+    )
+    h_ext = jnp.einsum(
+        "bhnlj,bhnjv->bhnlv", matSD, vc_ext, preferred_element_type=f32
+    )
     num = jnp.einsum(
-        "bhnld,bhndv->bhnlv", qbar, C_prev, preferred_element_type=f32
-    ) + jnp.einsum("bhnlj,bhnjv->bhnlv", matSD, vc, preferred_element_type=f32)
+        "bhnld,bhndv->bhnlv", qbar.astype(cd), C_prev.astype(cd),
+        preferred_element_type=f32,
+    ) + h_ext[..., :DHHV]
     den_raw = jnp.einsum(
         "bhnld,bhnd->bhnl", qbar, n_prev, preferred_element_type=f32
-    ) + matSD.sum(-1)
+    ) + h_ext[..., DHHV]
     den = sg(jnp.maximum(jnp.abs(den_raw), jnp.exp(-m_comb)))
     h = (num / (den[..., None] + eps)).reshape(B, NH, S, DHHV).astype(q.dtype)
 
