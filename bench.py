@@ -81,6 +81,23 @@ def main():
     )  # GFLOPs of the exact compiled program (one batch)
     mfu = model_mfu(sec_per_batch, gflops * 1e9) if gflops > 0 else -1.0
 
+    # practical-peak probe: a dense 4096^3 bf16 GEMM measures what this
+    # environment actually delivers (the relay-attached chip sustains far
+    # below nominal v5e peak — measured ~29 TFLOP/s; docs/KNOWN_ISSUES.md),
+    # so env_mfu = model FLOP/s over *measured* GEMM FLOP/s.
+    W = jax.random.normal(jax.random.PRNGKey(2), (4096, 4096), jnp.bfloat16) * 0.01
+    gm = jax.jit(lambda a: a @ W)
+    gemm_in = [
+        jax.random.normal(k, (4096, 4096), jnp.bfloat16)
+        for k in jax.random.split(jax.random.PRNGKey(3), 6)
+    ]
+    np.asarray(gm(gemm_in[0])[0, :2]); np.asarray(gm(gemm_in[1])[0, :2])
+    tg = time.perf_counter()
+    gouts = [gm(x) for x in gemm_in[2:]]
+    np.asarray(gouts[-1][0, :2])
+    gemm_tflops = 2 * 4096**3 * 4 / (time.perf_counter() - tg) / 1e12
+    env_mfu = (gflops / sec_per_batch / 1e3) / gemm_tflops if gflops > 0 else -1.0
+
     base_file = REPO / "BENCH_BASELINE.json"
     vs = 1.0
     if base_file.exists():
@@ -96,6 +113,8 @@ def main():
         "unit": "img/s",
         "vs_baseline": vs,
         "mfu": round(mfu, 4),
+        "env_mfu": round(env_mfu, 4),
+        "env_gemm_tflops": round(gemm_tflops, 1),
         "gflops_per_batch": round(gflops, 1),
         "chip": detect_chip(),
     }))

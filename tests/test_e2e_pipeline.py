@@ -328,3 +328,70 @@ def test_classify_train_val_predict(tmp_path):
     img = np.full((180, 200, 3), 80, np.uint8)
     res = m.predict(source=img, imgsz=160)
     assert res[0].probs is not None and res[0].probs.top1 is not None
+
+
+def test_int8_ptq_export_roundtrip(tmp_path):
+    """orbax_int8 export -> AutoBackend load: outputs match bf16 weights
+    closely (weight-only PTQ)."""
+    from types import SimpleNamespace
+
+    import jax
+    import jax.numpy as jnp
+
+    from xlstm_yolo_tpu.engine.exporter import Exporter
+    from xlstm_yolo_tpu.nn.autobackend import AutoBackend
+    from xlstm_yolo_tpu.nn.tasks import build_detection_model
+    from xlstm_yolo_tpu.utils.quantize import (
+        dequantize_tree, is_quantized_tree, quantize_tree,
+    )
+
+    cfg = "xlstm_yolo_tpu/cfg/models/vil-det-tiny.yaml"
+    model, _ = build_detection_model(cfg)
+    img = jnp.zeros((1, 160, 160, 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), img)
+
+    qt = quantize_tree(jax.tree.map(np.asarray, variables["params"]))
+    assert is_quantized_tree(qt)
+    dq = dequantize_tree(qt)
+    # per-leaf relative error bounded by the int8 grid
+    for a, b in zip(jax.tree.leaves(variables["params"]), jax.tree.leaves(dq)):
+        a = np.asarray(a)
+        if a.ndim >= 2 and a.size >= 1024:
+            assert np.abs(a - b).max() <= np.abs(a).max() / 127 + 1e-6
+
+    args = SimpleNamespace(format="orbax_int8", imgsz=160, batch=1)
+    path = Exporter(args)(
+        {"model": model, "variables": variables}, out_dir=tmp_path)
+    ab = AutoBackend(path, model_cfg=cfg, imgsz=160, compute_dtype=None)
+    assert ab.format == "orbax_int8"
+
+    u8 = (np.random.default_rng(0).uniform(0, 255, (1, 160, 160, 3))).astype(np.uint8)
+    y_ref = np.asarray(model.apply(variables, jnp.asarray(u8, jnp.float32) / 255.0)[0])
+    y_q = np.asarray(ab.forward(jnp.asarray(u8)))
+    assert y_q.shape == y_ref.shape
+    # random-init logits amplify the int8 grid through top-k reordering;
+    # bound the *distributional* drift (trained weights track much closer)
+    assert abs(y_q[..., 4].mean() - y_ref[..., 4].mean()) < 0.05
+    assert np.abs(np.sort(y_q[..., 4], -1) - np.sort(y_ref[..., 4], -1)).max() < 0.2
+
+
+def test_throughput_engine_scan_parity():
+    """ThroughputEngine yields the same results as per-batch predict."""
+    import jax.numpy as jnp
+
+    from xlstm_yolo_tpu.engine.serving import ThroughputEngine
+
+    W = jnp.asarray(np.random.default_rng(1).normal(size=(12, 4)), jnp.float32)
+
+    def predict(img_u8):
+        x = img_u8.astype(jnp.float32) / 255.0
+        return x.reshape(x.shape[0], -1, 12) @ W
+
+    eng = ThroughputEngine(predict, scan=3)
+    rng = np.random.default_rng(2)
+    batches = [rng.integers(0, 255, (2, 2, 2, 3), np.uint8) for _ in range(7)]
+    outs = list(eng(batches))
+    assert len(outs) == 7
+    for b, o in zip(batches, outs):
+        np.testing.assert_allclose(
+            o, np.asarray(predict(jnp.asarray(b))), rtol=1e-5, atol=1e-5)

@@ -22,6 +22,7 @@ FORMATS = {
     # name: (suffix, description)
     "stablehlo": (".stablehlo", "serialized StableHLO program (jax.export)"),
     "orbax": ("_orbax", "orbax params checkpoint"),
+    "orbax_int8": ("_orbax_int8", "orbax checkpoint, int8 weight-only PTQ"),
     "savedmodel": ("_saved_model", "TF SavedModel via jax2tf"),
 }
 
@@ -68,17 +69,22 @@ class Exporter:
             exported = jexport.export(jax.jit(forward))(spec)
             path = out_dir / "model.stablehlo"
             path.write_bytes(exported.serialize())
-        elif fmt == "orbax":
+        elif fmt in {"orbax", "orbax_int8"}:
             import orbax.checkpoint as ocp
 
-            path = (out_dir / "model_orbax").resolve()
+            tree = jax.tree.map(np.asarray, variables)
+            if fmt == "orbax_int8":
+                from xlstm_yolo_tpu.utils.quantize import quantize_tree
+
+                tree = dict(tree)
+                tree["params"] = quantize_tree(tree["params"])
+                meta["quantization"] = "int8 weight-only, per-output-channel symmetric"
+            path = (out_dir / f"model_{fmt}").resolve()
             if path.exists():
                 import shutil
 
                 shutil.rmtree(path)
-            ocp.PyTreeCheckpointer().save(
-                str(path), jax.tree.map(np.asarray, variables)
-            )
+            ocp.PyTreeCheckpointer().save(str(path), tree)
         elif fmt == "savedmodel":
             try:
                 import tensorflow as tf

@@ -59,6 +59,11 @@ class AutoBackend:
             model, d = build_detection_model(model_cfg, compute_dtype=compute_dtype)
             tree = ocp.PyTreeCheckpointer().restore(str(p.resolve()))
             params = tree.get("ema_params") or tree.get("params")
+            from xlstm_yolo_tpu.utils.quantize import dequantize_tree, is_quantized_tree
+
+            if is_quantized_tree(params):  # int8 weight-only PTQ export
+                self.format = "orbax_int8"
+                params = dequantize_tree(params)
             variables = jax.tree.map(
                 jnp.asarray,
                 {"params": params, "batch_stats": tree.get("batch_stats", {})},

@@ -27,18 +27,25 @@ DEFAULT_CHUNKWISE_KERNEL = "auto"
 
 
 def resolve_chunkwise_kernel(name: str) -> str:
-    """'auto' -> the XLA chunkwise scan everywhere (for now).
+    """'auto' -> Pallas v2 on TPU, XLA chunkwise scan elsewhere.
 
-    The Pallas kernels are faster in isolation (0.64 ms vs 0.89 ms fw at
-    flagship shapes) and pass parity tests standalone at every model
-    shape, but embedding ~30 of them in the full detection graph
-    currently faults the remote TPU worker (under investigation); the
-    model path therefore defaults to the XLA scan until that is root-
-    caused.  Opt in explicitly with
-    chunkwise_kernel='chunkwise--pallas_xl_chunk_siging'.
+    The round-1 blocker (full-graph Pallas + top-k gathers faulting the
+    TPU runtime) is resolved: with the gather-free one-hot-matmul
+    postprocess the fused program runs at every validated batch size
+    (docs/KNOWN_ISSUES.md).  The v2 (B,S,H)-layout head-grouped kernel
+    is the faster model body (dispatch-amortized 216 vs 193 img/s at
+    batch 8; cell microbench 5.4 vs 6.3 ms), so TPU defaults to it;
+    short sequences (<1024) inside the model still fall back to the XLA
+    scan per the measured crossover (nn/layers.py).
     """
     if name != "auto":
         return name
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:  # pragma: no cover - no backend
+        platform = "cpu"
+    if platform == "tpu":
+        return "chunkwise--pallas_xl_chunk_siging_v2"
     return "chunkwise--native_autograd"
 
 
