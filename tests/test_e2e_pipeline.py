@@ -395,3 +395,33 @@ def test_throughput_engine_scan_parity():
     for b, o in zip(batches, outs):
         np.testing.assert_allclose(
             o, np.asarray(predict(jnp.asarray(b))), rtol=1e-5, atol=1e-5)
+
+
+def test_fastsam_prompted_predict(synth_dataset):
+    """FastSAM: segment-everything + bbox/point prompt selection
+    (ref:models/fastsam/predict.py:47-123)."""
+    from xlstm_yolo_tpu.models.fastsam import FastSAM
+
+    img_dir = Path(synth_dataset).parent / "images" / "train"
+    src = sorted(img_dir.glob("*.jpg"))[0]
+
+    m = FastSAM("xlstm_yolo_tpu/cfg/models/vil-det-tiny-seg.yaml")
+    base = m.predict(str(src), conf=0.0, imgsz=160)
+    assert len(base) == 1
+    r = base[0]
+    n_all = len(r)
+
+    # bbox prompt selects exactly one mask per box (argmax IoU)
+    bb = [10, 10, 100, 100]
+    sel = m.predict(str(src), conf=0.0, imgsz=160, bboxes=[bb])
+    assert len(sel) == 1
+    if n_all:
+        assert len(sel[0]) == 1
+
+    # point prompt: masks containing the point
+    sel2 = m.predict(str(src), conf=0.0, imgsz=160, points=[[50, 50]])
+    assert len(sel2) == 1
+
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        m.predict(str(src), conf=0.0, imgsz=160, texts="a red box")

@@ -1,0 +1,4 @@
+from xlstm_yolo_tpu.models.fastsam import FastSAM, FastSAMPredictor
+from xlstm_yolo_tpu.models.yolo.model import task_map
+
+__all__ = ["FastSAM", "FastSAMPredictor", "task_map"]
