@@ -205,3 +205,20 @@ def test_lsblock_fusion_with_biased_conv():
     assert "norm" not in fused_vars["params"]
     y_fused = LSBlock(dim=16, fused=True).apply(jax.tree.map(jnp.asarray, fused_vars), x)
     np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref), atol=2e-5, rtol=1e-4)
+
+
+def test_profiling_trace_harness(tmp_path):
+    """jax.profiler trace capture writes an xplane artifact."""
+    import jax
+    import jax.numpy as jnp
+
+    from xlstm_yolo_tpu.utils.profiling import annotate, profile_step, trace
+
+    f = jax.jit(lambda x: (x @ x).sum())
+    x = jnp.ones((64, 64))
+    d = profile_step(f, x, logdir=tmp_path / "prof", iters=2)
+    artifacts = list(Path(d).rglob("*.xplane.pb")) + list(Path(d).rglob("*.trace.json.gz"))
+    assert artifacts, f"no trace artifacts under {d}"
+    with trace(tmp_path / "prof2"):
+        with annotate("one"):
+            float(f(x))
