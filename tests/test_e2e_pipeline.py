@@ -425,3 +425,23 @@ def test_fastsam_prompted_predict(synth_dataset):
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
         m.predict(str(src), conf=0.0, imgsz=160, texts="a red box")
+
+
+def test_rtdetr_predict_and_val(synth_dataset):
+    """RT-DETR plugin: tiny graph builds, predicts, and validates e2e
+    (ref:models/rtdetr/{model,predict,val}.py)."""
+    from xlstm_yolo_tpu.models.rtdetr import RTDETR
+
+    root = Path(synth_dataset).parent
+    src = sorted((root / "images" / "train").glob("*.jpg"))[0]
+
+    m = RTDETR("xlstm_yolo_tpu/cfg/models/rtdetr-tiny.yaml")
+    res = m.predict(str(src), conf=0.0, imgsz=160)
+    assert len(res) == 1
+    r = res[0]
+    if len(r):
+        xyxy = r.boxes.xyxy
+        assert (xyxy[:, 2] >= xyxy[:, 0]).all()
+
+    metrics = m.val(data=str(synth_dataset), imgsz=160, batch=4, conf=0.001)
+    assert "metrics/mAP50-95(B)" in metrics or hasattr(metrics, "box")

@@ -91,6 +91,13 @@ class DetectionValidator:
         self.jdict: list[dict] = []
         self.speed = {"preprocess": 0.0, "inference": 0.0, "postprocess": 0.0, "metrics": 0.0}
 
+    def decode_raw(self, y):
+        """Hook: raw head output -> (B, N, 6) [xyxy(model px), conf, cls].
+
+        The detect head already emits this; RT-DETR's validator overrides
+        it (normalized cxcywh + per-class scores -> decoded)."""
+        return y
+
     def __call__(self, model_bundle: dict, batch_size: int | None = None, verbose: bool = True):
         model = model_bundle["model"]
         variables = model_bundle["variables"]
@@ -108,7 +115,7 @@ class DetectionValidator:
         def infer(variables, img_u8):
             x = img_u8.astype(jnp.float32) / 255.0
             y, _ = model.apply(variables, x)
-            return y
+            return self.decode_raw(y)
 
         conf_thres = self.args.conf if self.args.conf is not None else 0.001
         stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}

@@ -931,3 +931,101 @@ class VisionLSTMBlock(nn.Module):
                 outs.append(tap(y))
         outs.append(tap(y))
         return outs
+
+
+# ---------------------------------------------------------------------------
+# RT-DETR backbone/neck blocks (HGNetV2 + RepC3)
+# ---------------------------------------------------------------------------
+
+
+class LightConv(nn.Module):
+    """1x1 conv (no act) -> depthwise kxk conv (ReLU) (parity: conv.py:78-99)."""
+
+    c2: int
+    k: int = 3
+    training: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        y = ConvBNAct(self.c2, 1, act=None, training=self.training,
+                      dtype=self.dtype, name="conv1")(x)
+        return DWConvBlock(self.c2, self.k, act="relu", training=self.training,
+                           dtype=self.dtype, name="conv2")(y)
+
+
+class HGStem(nn.Module):
+    """PPHGNetV2 stem: 5 convs + stride-1 maxpool (parity: block.py:231-259).
+
+    The torch version pads right/bottom by 1 before stem2a and the pool
+    (asymmetric); reproduced with explicit NHWC padding.
+    """
+
+    cm: int
+    c2: int
+    training: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        kw = dict(training=self.training, dtype=self.dtype)
+        x = ConvBNAct(self.cm, 3, 2, act="relu", name="stem1", **kw)(x)
+        xp = jnp.pad(x, [(0, 0), (0, 1), (0, 1), (0, 0)])
+        x2 = ConvBNAct(self.cm // 2, 2, 1, p=0, act="relu", name="stem2a", **kw)(xp)
+        x2 = jnp.pad(x2, [(0, 0), (0, 1), (0, 1), (0, 0)])
+        x2 = ConvBNAct(self.cm, 2, 1, p=0, act="relu", name="stem2b", **kw)(x2)
+        x1 = nn.max_pool(xp, (2, 2), strides=(1, 1), padding="VALID")
+        y = jnp.concatenate([x1, x2], axis=-1)
+        y = ConvBNAct(self.cm, 3, 2, act="relu", name="stem3", **kw)(y)
+        return ConvBNAct(self.c2, 1, 1, act="relu", name="stem4", **kw)(y)
+
+
+class HGBlock(nn.Module):
+    """PPHGNetV2 HG block (parity: block.py:262-283)."""
+
+    cm: int
+    c2: int
+    k: int = 3
+    n: int = 6
+    lightconv: bool = False
+    shortcut: bool = False
+    training: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        kw = dict(training=self.training, dtype=self.dtype)
+        ys = [x]
+        for i in range(self.n):
+            if self.lightconv:
+                ys.append(LightConv(self.cm, self.k, name=f"m_{i}", **kw)(ys[-1]))
+            else:
+                ys.append(ConvBNAct(self.cm, self.k, act="relu", name=f"m_{i}",
+                                    **kw)(ys[-1]))
+        y = jnp.concatenate(ys, axis=-1)
+        y = ConvBNAct(self.c2 // 2, 1, act="relu", name="sc", **kw)(y)
+        y = ConvBNAct(self.c2, 1, act="relu", name="ec", **kw)(y)
+        return y + x if (self.shortcut and x.shape[-1] == self.c2) else y
+
+
+class RepC3(nn.Module):
+    """RT-DETR neck CSP block over RepConvs (parity: block.py:410-424)."""
+
+    c2: int
+    n: int = 3
+    e: float = 1.0
+    training: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        c_ = int(self.c2 * self.e)
+        kw = dict(training=self.training, dtype=self.dtype)
+        a = ConvBNAct(c_, 1, name="cv1", **kw)(x)
+        b = ConvBNAct(c_, 1, name="cv2", **kw)(x)
+        for i in range(self.n):
+            a = RepConv(c_, name=f"m_{i}", **kw)(a)
+        y = a + b
+        if c_ != self.c2:
+            y = ConvBNAct(self.c2, 1, name="cv3", **kw)(y)
+        return y

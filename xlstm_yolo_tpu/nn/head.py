@@ -435,3 +435,145 @@ def pose_decode(kpts, anchors, stride_t, kpt_shape):
     if nd == 3:
         return jnp.concatenate([xy, jax.nn.sigmoid(k[..., 2:3])], axis=-1)
     return xy
+
+
+class RTDETRDecoder(nn.Module):
+    """Real-Time DETR decoder head (ref:ultralytics/nn/modules/head.py:522-752).
+
+    Flow: project each level to ``hd`` channels -> flatten+concat ->
+    encoder head scores -> top-``nq`` query selection (anchors + content)
+    -> deformable decoder with iterative sigmoid-space box refinement.
+    Inference returns (B, nq, 4+nc) with normalized cxcywh boxes and
+    sigmoid scores; training returns the per-layer decoder outputs
+    (denoising-group training is handled by the RTDETR task plugin).
+    """
+
+    nc: int = 80
+    ch: Sequence[int] = ()
+    hd: int = 256         # hidden dim
+    nq: int = 300         # queries
+    ndp: int = 4          # decoder sampling points
+    nh: int = 8           # attention heads
+    ndl: int = 6          # decoder layers
+    d_ffn: int = 1024
+    eval_idx: int = -1
+    learnt_init_query: bool = False
+    training: bool = False
+    img_size: int = 640   # unused (boxes are normalized); kept for head API
+    dtype: Any = None
+    fused: bool = False
+
+    def _anchors(self, shapes, grid_size=0.05, eps=1e-2):
+        """Logit-space grid anchors + validity mask (ref:head.py:651-669)."""
+        anchors = []
+        for i, (h, w) in enumerate(shapes):
+            gy, gx = jnp.meshgrid(jnp.arange(h, dtype=f32), jnp.arange(w, dtype=f32),
+                                  indexing="ij")
+            xy = (jnp.stack([gx, gy], -1) + 0.5) / jnp.asarray([w, h], f32)
+            wh = jnp.full((h, w, 2), grid_size * (2.0 ** i), f32)
+            anchors.append(jnp.concatenate([xy, wh], -1).reshape(h * w, 4))
+        a = jnp.concatenate(anchors, 0)[None]  # (1, V, 4)
+        valid = ((a > eps) & (a < 1 - eps)).all(-1, keepdims=True)
+        a = jnp.log(a / (1 - a))
+        return jnp.where(valid, a, jnp.inf), valid
+
+    @nn.compact
+    def __call__(self, feats: list, img_hw=None):
+        from xlstm_yolo_tpu.nn.transformer import (
+            MLP, DeformableTransformerDecoderLayer, inverse_sigmoid,
+        )
+
+        B = feats[0].shape[0]
+        shapes = [(f.shape[1], f.shape[2]) for f in feats]
+        nl = len(feats)
+
+        # input projection (1x1 conv + BN, ref:head.py:583) and flatten
+        proj = []
+        for i, f in enumerate(feats):
+            y = ConvBNAct(self.hd, 1, act=None, training=self.training,
+                          fused=self.fused, dtype=self.dtype,
+                          name=f"input_proj_{i}")(f)
+            proj.append(y.reshape(B, -1, self.hd))
+        feats_flat = jnp.concatenate(proj, 1)  # (B, V, hd)
+
+        anchors, valid = self._anchors(shapes)
+        feats_enc = nn.Dense(self.hd, dtype=self.dtype, name="enc_output_fc")(
+            jnp.where(valid, feats_flat.astype(f32), 0.0).astype(feats_flat.dtype))
+        feats_enc = nn.LayerNorm(name="enc_output_norm")(feats_enc).astype(feats_flat.dtype)
+
+        cls_bias = float(-math.log((1 - 0.01) / 0.01) / 80 * self.nc)
+        enc_scores = nn.Dense(
+            self.nc, bias_init=nn.initializers.constant(cls_bias),
+            dtype=self.dtype, name="enc_score_head",
+        )(feats_enc)  # (B, V, nc)
+
+        # top-nq query selection (gathers are fine here: no Pallas co-compiled)
+        best = enc_scores.max(-1).astype(f32)  # (B, V)
+        _, topk_ind = jax.lax.top_k(best, self.nq)
+        top_feats = jnp.take_along_axis(feats_enc, topk_ind[..., None], axis=1)
+        top_anchors = jnp.take_along_axis(
+            jnp.broadcast_to(anchors, (B, anchors.shape[1], 4)),
+            topk_ind[..., None], axis=1)
+
+        refer_bbox = MLP(self.hd, 4, num_layers=3, dtype=self.dtype,
+                         name="enc_bbox_head")(top_feats).astype(f32) + top_anchors
+        enc_bboxes = jax.nn.sigmoid(refer_bbox)
+        enc_sel_scores = jnp.take_along_axis(enc_scores, topk_ind[..., None], axis=1)
+
+        if self.learnt_init_query:
+            tgt = self.param("tgt_embed", nn.initializers.xavier_uniform(),
+                             (self.nq, self.hd), f32)
+            embed = jnp.broadcast_to(tgt[None], (B, self.nq, self.hd)).astype(feats_enc.dtype)
+        else:
+            embed = top_feats
+        if self.training:
+            refer_bbox = jax.lax.stop_gradient(refer_bbox)
+            if not self.learnt_init_query:
+                embed = jax.lax.stop_gradient(embed)
+
+        # deformable decoder w/ iterative refinement (ref:transformer.py:389-440)
+        refer = jax.nn.sigmoid(refer_bbox)
+        dec_bboxes, dec_scores = [], []
+        last_refined = None
+        eval_idx = self.eval_idx if self.eval_idx >= 0 else self.ndl + self.eval_idx
+        out = embed
+        # query_pos_head is shared across layers (one module, re-applied)
+        qph = MLP(2 * self.hd, self.hd, num_layers=2, dtype=self.dtype,
+                  name="query_pos_head")
+        for i in range(self.ndl):
+            qpos = qph(refer.astype(out.dtype))
+            out = DeformableTransformerDecoderLayer(
+                d_model=self.hd, n_heads=self.nh, d_ffn=self.d_ffn,
+                n_levels=nl, n_points=self.ndp, dtype=self.dtype,
+                name=f"decoder_layers_{i}",
+            )(out, refer, feats_flat, shapes, query_pos=qpos)
+            bbox = MLP(self.hd, 4, num_layers=3, dtype=self.dtype,
+                       name=f"dec_bbox_head_{i}")(out).astype(f32)
+            refined = jax.nn.sigmoid(bbox + inverse_sigmoid(refer))
+            if self.training:
+                dec_scores.append(nn.Dense(
+                    self.nc, bias_init=nn.initializers.constant(cls_bias),
+                    dtype=self.dtype, name=f"dec_score_head_{i}")(out))
+                dec_bboxes.append(
+                    refined if i == 0
+                    else jax.nn.sigmoid(bbox + inverse_sigmoid(last_refined)))
+                last_refined = refined
+                refer = jax.lax.stop_gradient(refined)
+            else:
+                if i == eval_idx:
+                    dec_scores.append(nn.Dense(
+                        self.nc, bias_init=nn.initializers.constant(cls_bias),
+                        dtype=self.dtype, name=f"dec_score_head_{i}")(out))
+                    dec_bboxes.append(refined)
+                    break
+                last_refined = refined
+                refer = refined
+
+        db = jnp.stack(dec_bboxes)   # (ndl|1, B, nq, 4)
+        ds = jnp.stack(dec_scores)
+        if self.training:
+            return {"dec_bboxes": db, "dec_scores": ds,
+                    "enc_bboxes": enc_bboxes, "enc_scores": enc_sel_scores}
+        y = jnp.concatenate(
+            [db[-1], jax.nn.sigmoid(ds[-1].astype(f32)).astype(db.dtype)], -1)
+        return y, {"enc_bboxes": enc_bboxes, "enc_scores": enc_sel_scores}

@@ -104,6 +104,11 @@ def parse_model_specs(d: dict, ch: int = 3, scale: str | None = None):
                         pass
         name = m.replace("nn.", "") if isinstance(m, str) else m
         n_rep = max(round(n * depth), 1) if n > 1 else n
+        # normalize relative froms other than -1 (e.g. [-2, -1]) to absolute
+        if isinstance(f, int):
+            f = f if f == -1 or f >= 0 else i + f
+        else:
+            f = [j if j == -1 or j >= 0 else i + j for j in f]
 
         c1 = ch_list[f] if isinstance(f, int) else None
         kwargs: dict[str, Any] = {}
@@ -128,6 +133,20 @@ def parse_model_specs(d: dict, ch: int = 3, scale: str | None = None):
             c2 = args[1]
         elif name == "ConvTranspose":
             c2 = args[0]
+        elif name == "AIFI":
+            c2 = ch_list[f]  # channels unchanged (ref:nn/tasks.py:1231)
+        elif name in {"HGStem", "HGBlock"}:
+            c2 = args[1]  # [cm, c2, ...] (ref:nn/tasks.py:1233-1238)
+            if name == "HGBlock":
+                kwargs["n"] = n_rep
+                n_rep = 1
+        elif name == "RepC3":
+            c2 = args[0]
+            kwargs["n"] = n_rep
+            n_rep = 1
+        elif name == "RTDETRDecoder":
+            kwargs["ch"] = tuple(ch_list[x] for x in f)
+            c2 = None
         elif name in {"PatchMerger", "SequenceToImage", "Upsample",
                       "FeatureSplitIndex", "PermuteBlock"}:
             c2 = ch_list[f]
@@ -202,17 +221,28 @@ def build_module(spec: dict, nc: int, training: bool, chunkwise_kernel: str,
     if name == "Concat":
         return _Concat(name=mname)
     if name == "Conv":
+        # yaml args mirror Conv(c2, k, s, p, g, d, act) (ref:conv.py:37)
         c2 = args[0]
         k = args[1] if len(args) > 1 else 1
         s = args[2] if len(args) > 2 else 1
-        return B.ConvBNAct(c2=c2, k=k, s=s, training=training, fused=fused,
+        p = args[3] if len(args) > 3 else None
+        g = args[4] if len(args) > 4 else 1
+        d = args[5] if len(args) > 5 else 1
+        act = "silu" if (len(args) < 7 or args[6] is True) else (
+            args[6] if isinstance(args[6], str) else None)
+        return B.ConvBNAct(c2=c2, k=k, s=s, p=p, g=g, d=d, act=act,
+                           training=training, fused=fused,
                            dtype=compute_dtype, name=mname)
     if name == "DWConv":
+        # DWConv(c2, k, s, d, act) (ref:conv.py:102)
         c2 = args[0]
         k = args[1] if len(args) > 1 else 1
         s = args[2] if len(args) > 2 else 1
-        return B.DWConvBlock(c2=c2, k=k, s=s, training=training, fused=fused,
-                             dtype=compute_dtype, name=mname)
+        d = args[3] if len(args) > 3 else 1
+        act = "silu" if (len(args) < 5 or args[4] is True) else (
+            args[4] if isinstance(args[4], str) else None)
+        return B.DWConvBlock(c2=c2, k=k, s=s, d=d, act=act, training=training,
+                             fused=fused, dtype=compute_dtype, name=mname)
     if name == "C2f":
         c2 = args[0]
         shortcut = bool(args[1]) if len(args) > 1 else False
@@ -314,6 +344,34 @@ def build_module(spec: dict, nc: int, training: bool, chunkwise_kernel: str,
         return H.OBB(nc=args[0] if args else nc, ne=ne, ch=kw["ch"],
                      training=training, img_size=img_size, dtype=compute_dtype,
                      fused=fused, name=mname)
+    if name == "AIFI":
+        d_ffn = args[0] if args else 1024
+        nh = args[1] if len(args) > 1 else 8
+        from xlstm_yolo_tpu.nn.transformer import AIFI
+        return AIFI(d_ffn=d_ffn, num_heads=nh, dtype=compute_dtype, name=mname)
+    if name == "HGStem":
+        return B.HGStem(cm=args[0], c2=args[1], training=training,
+                        dtype=compute_dtype, name=mname)
+    if name == "HGBlock":
+        k = args[2] if len(args) > 2 else 3
+        light = bool(args[3]) if len(args) > 3 else False
+        shortcut = bool(args[4]) if len(args) > 4 else False
+        return B.HGBlock(cm=args[0], c2=args[1], k=k, n=kw.get("n", 6),
+                         lightconv=light, shortcut=shortcut, training=training,
+                         dtype=compute_dtype, name=mname)
+    if name == "RepC3":
+        return B.RepC3(c2=args[0], n=kw.get("n", 3),
+                       e=args[1] if len(args) > 1 else 1.0,
+                       training=training, dtype=compute_dtype, name=mname)
+    if name == "RTDETRDecoder":
+        from collections.abc import Mapping
+
+        # flax freezes dict attrs inside module fields -> Mapping check
+        over = dict(args[1]) if len(args) > 1 and isinstance(args[1], Mapping) else {}
+        return H.RTDETRDecoder(nc=args[0] if args else nc, ch=kw["ch"],
+                               training=training, img_size=img_size,
+                               dtype=compute_dtype, fused=fused,
+                               **over, name=mname)
     if name == "Classify":
         return H.Classify(c2=args[0] if args else nc,
                           k=args[1] if len(args) > 1 else 1,
@@ -376,7 +434,8 @@ class DetectionModel(nn.Module):
                 inp = out if f == -1 else saved[f]
             else:
                 inp = [out if j == -1 else saved[j] for j in f]
-            if spec["module"] in {"Detect", "v10Detect", "Segment", "Pose", "OBB"}:
+            if spec["module"] in {"Detect", "v10Detect", "Segment", "Pose", "OBB",
+                                  "RTDETRDecoder"}:
                 out = layer(inp, img_hw=img_hw)
             else:
                 out = layer(inp)
