@@ -445,3 +445,15 @@ def test_rtdetr_predict_and_val(synth_dataset):
 
     metrics = m.val(data=str(synth_dataset), imgsz=160, batch=4, conf=0.001)
     assert "metrics/mAP50-95(B)" in metrics or hasattr(metrics, "box")
+
+
+def test_rtdetr_train_short(synth_dataset):
+    """RT-DETR trains a couple of steps through the standard trainer
+    (Hungarian DETR loss via pure_callback under jit)."""
+    from xlstm_yolo_tpu.models.rtdetr import RTDETR
+
+    m = RTDETR("xlstm_yolo_tpu/cfg/models/rtdetr-tiny.yaml")
+    res = m.train(data=str(synth_dataset), epochs=1, batch=4, imgsz=160,
+                  workers=0, val=False, save=False, plots=False,
+                  warmup_epochs=0.0)
+    assert res is not None

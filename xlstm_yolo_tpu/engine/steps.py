@@ -108,6 +108,14 @@ def make_train_step(
 
             total, l = v8_classification_loss(out, batch["cls"])
             items = LossItems(l, l, jnp.zeros_like(l))
+        elif isinstance(out, dict) and "dec_bboxes" in out:
+            # RT-DETR graph: Hungarian-matched DETR loss
+            from xlstm_yolo_tpu.utils.detr_loss import rtdetr_detection_loss
+
+            total, items = rtdetr_detection_loss(
+                out, batch["cls"], batch["bboxes"], batch["mask"],
+                img_size=ih, nc=nc,
+            )
         elif end2end:
             feats = out["one2many"]
             strides = [ih / f.shape[1] for f in feats]
