@@ -35,6 +35,35 @@ WARMUP = 2
 ITERS = 16
 
 
+def _pallas_hidden_gflops(specs, batch: int) -> float:
+    """Analytic chunkwise-mLSTM GFLOPs invisible to XLA cost analysis.
+
+    Walks the compiled specs for ViL pairs whose S >= 1024 (the Pallas
+    crossover); each pair runs two directional cells at NH = 2*dim/qkv,
+    DH = qkv (ViLLayer expansion=2). Uses the roofline cost model."""
+    from xlstm_yolo_tpu.nn.tasks import resolve_chunkwise_kernel
+    from xlstm_yolo_tpu.utils.roofline import mlstm_chunkwise_cost
+
+    if "pallas" not in resolve_chunkwise_kernel("auto"):
+        return 0.0
+    total = 0.0
+    for s in specs:
+        if s["module"] not in {"ViLBlockPairBlock", "ViLFusionBlock"}:
+            continue
+        cfg = s["args"][2]
+        h, w = cfg["seqlens"]
+        S = h * w
+        if S < 1024:
+            continue
+        dim = s["args"][1]
+        qkv = int(cfg.get("qkv_block_size", 16))
+        nh = 2 * dim // qkv
+        L = min(int(cfg.get("chunk_size", 256)), S)
+        cost = mlstm_chunkwise_cost(batch, nh, S, qkv, qkv, L)
+        total += 2 * cost.flops  # two directional blocks per pair
+    return total / 1e9
+
+
 def main():
     from xlstm_yolo_tpu.nn.tasks import build_detection_model
     from xlstm_yolo_tpu.utils.fuse import fuse_variables
@@ -79,23 +108,29 @@ def main():
     gflops = get_flops(
         lambda v, x: predict(v, x), fused_vars, batches[0]
     )  # GFLOPs of the exact compiled program (one batch)
+    # XLA cost analysis cannot see inside Pallas custom calls; add the
+    # analytic FLOPs of every mLSTM cell that routed to the Pallas kernel
+    # (S >= 1024, nn/layers.py crossover) so MFU stays comparable across
+    # kernel backends.
+    gflops += _pallas_hidden_gflops(model.specs, BATCH)
     mfu = model_mfu(sec_per_batch, gflops * 1e9) if gflops > 0 else -1.0
 
     # practical-peak probe: a dense 4096^3 bf16 GEMM measures what this
     # environment actually delivers (the relay-attached chip sustains far
     # below nominal v5e peak — measured ~29 TFLOP/s; docs/KNOWN_ISSUES.md),
     # so env_mfu = model FLOP/s over *measured* GEMM FLOP/s.
-    W = jax.random.normal(jax.random.PRNGKey(2), (4096, 4096), jnp.bfloat16) * 0.01
+    N_G, IT_G = 8192, 8
+    W = jax.random.normal(jax.random.PRNGKey(2), (N_G, N_G), jnp.bfloat16) * 0.01
     gm = jax.jit(lambda a: a @ W)
     gemm_in = [
-        jax.random.normal(k, (4096, 4096), jnp.bfloat16)
-        for k in jax.random.split(jax.random.PRNGKey(3), 6)
+        jax.random.normal(k, (N_G, N_G), jnp.bfloat16)
+        for k in jax.random.split(jax.random.PRNGKey(3), IT_G + 2)
     ]
     np.asarray(gm(gemm_in[0])[0, :2]); np.asarray(gm(gemm_in[1])[0, :2])
     tg = time.perf_counter()
     gouts = [gm(x) for x in gemm_in[2:]]
     np.asarray(gouts[-1][0, :2])
-    gemm_tflops = 2 * 4096**3 * 4 / (time.perf_counter() - tg) / 1e12
+    gemm_tflops = 2 * N_G**3 * IT_G / (time.perf_counter() - tg) / 1e12
     env_mfu = (gflops / sec_per_batch / 1e3) / gemm_tflops if gflops > 0 else -1.0
 
     base_file = REPO / "BENCH_BASELINE.json"

@@ -59,18 +59,34 @@ def make_train_step(
     trainer.py:304,372 — here a lax.scan over leading microbatch dim).
     """
 
+    is_rtdetr = any(s["module"] == "RTDETRDecoder"
+                    for s in getattr(model_train, "specs", ()))
+
     def loss_fn(params, batch_stats, batch, rng):
         img = batch["img"]
         if img.dtype == jnp.uint8:
             # normalize on-device: the host ships 1/4 the bytes
             img = img.astype(f32) / 255.0
+        ih = batch["img"].shape[1]
+        apply_kw, rngs = {}, {"droppath": rng}
+        if is_rtdetr:
+            # padded gt triple for the CDN denoising group (normalized cxcywh)
+            xyxy = batch["bboxes"].astype(f32) / ih
+            cxy = (xyxy[..., :2] + xyxy[..., 2:]) / 2
+            wh = jnp.maximum(xyxy[..., 2:] - xyxy[..., :2], 1e-6)
+            apply_kw["targets"] = (
+                batch["cls"].astype(jnp.int32),
+                jnp.concatenate([cxy, wh], -1),
+                batch["mask"].astype(bool),
+            )
+            rngs["dn"] = jax.random.fold_in(rng, 7)
         out, mutated = model_train.apply(
             {"params": params, "batch_stats": batch_stats},
             img,
             mutable=["batch_stats"],
-            rngs={"droppath": rng},
+            rngs=rngs,
+            **apply_kw,
         )
-        ih = batch["img"].shape[1]
         if task == "segment":
             from xlstm_yolo_tpu.utils.loss import v8_segmentation_loss
 

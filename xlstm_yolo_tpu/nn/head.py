@@ -477,8 +477,13 @@ class RTDETRDecoder(nn.Module):
         a = jnp.log(a / (1 - a))
         return jnp.where(valid, a, jnp.inf), valid
 
+    # contrastive denoising training (CDN) params (ref:head.py:591-595)
+    num_denoising: int = 100
+    label_noise_ratio: float = 0.5
+    box_noise_scale: float = 1.0
+
     @nn.compact
-    def __call__(self, feats: list, img_hw=None):
+    def __call__(self, feats: list, img_hw=None, targets=None):
         from xlstm_yolo_tpu.nn.transformer import (
             MLP, DeformableTransformerDecoderLayer, inverse_sigmoid,
         )
@@ -531,6 +536,59 @@ class RTDETRDecoder(nn.Module):
             if not self.learnt_init_query:
                 embed = jax.lax.stop_gradient(embed)
 
+        # --- contrastive denoising group (on-device, fixed shapes) ---------
+        # Re-design of ref:models/utils/ops.py:get_cdn_group: the padded
+        # (B, M) gt layout makes every shape static, so the whole group
+        # (noised labels/boxes, class embeddings, attention mask) is built
+        # inside the jitted graph — no host-side ragged assembly.  Group
+        # layout is the canonical DINO interleaving: group g = [M positives |
+        # M negatives] at offset 2*M*g (the reference's mask pairs adjacent
+        # repetition blocks instead — a quirk we deliberately do not copy).
+        dn_class_embed = self.param(
+            "denoising_class_embed", nn.initializers.normal(1.0),
+            (self.nc, self.hd), f32)
+        num_dn, G, attn_mask = 0, 0, None
+        use_dn = self.training and targets is not None and self.num_denoising > 0
+        if use_dn:
+            gt_cls_t, gt_box_t, valid_t = targets
+            M = gt_box_t.shape[1]
+            G = max(1, self.num_denoising // M)
+            num_dn = 2 * G * M
+            r1, r2, r3, r4 = jax.random.split(self.make_rng("dn"), 4)
+            cls_rep = jnp.broadcast_to(gt_cls_t[:, None, None, :], (B, G, 2, M))
+            box_rep = jnp.broadcast_to(
+                gt_box_t[:, None, None, :, :], (B, G, 2, M, 4)).astype(f32)
+            val_rep = jnp.broadcast_to(valid_t[:, None, None, :], (B, G, 2, M))
+            # label noise: flip to a random class with p = ratio/2 (ref)
+            flip = jax.random.uniform(r1, (B, G, 2, M)) < (self.label_noise_ratio * 0.5)
+            rand_lab = jax.random.randint(r2, (B, G, 2, M), 0, self.nc)
+            dn_cls = jnp.where(flip, rand_lab, cls_rep).astype(jnp.int32)
+            # box noise in xyxy space; negatives pushed a full box outside
+            xyc, whc = box_rep[..., :2], box_rep[..., 2:]
+            xyxy = jnp.concatenate([xyc - whc / 2, xyc + whc / 2], -1)
+            diff = jnp.tile(whc * 0.5, (1, 1, 1, 1, 2)) * self.box_noise_scale
+            sign = jax.random.randint(r3, xyxy.shape, 0, 2).astype(f32) * 2.0 - 1.0
+            part = jax.random.uniform(r4, xyxy.shape)
+            part = part.at[:, :, 1].add(1.0)
+            xyxy = jnp.clip(xyxy + sign * part * diff, 0.0, 1.0)
+            nxy = (xyxy[..., :2] + xyxy[..., 2:]) / 2
+            nwh = jnp.maximum(xyxy[..., 2:] - xyxy[..., :2], 1e-6)
+            dn_box = inverse_sigmoid(jnp.concatenate([nxy, nwh], -1), eps=1e-6)
+            emb = jax.nn.one_hot(dn_cls, self.nc, dtype=f32) @ dn_class_embed
+            emb = jnp.where(val_rep[..., None], emb, 0.0)
+            dn_box = jnp.where(val_rep[..., None], dn_box, 0.0)
+            embed = jnp.concatenate(
+                [emb.reshape(B, num_dn, self.hd).astype(embed.dtype), embed], 1)
+            refer_bbox = jnp.concatenate(
+                [dn_box.reshape(B, num_dn, 4), refer_bbox], 1)
+            # attention mask (True = may attend): queries blind to dn; each
+            # dn group sees only itself (plus the match queries)
+            gid = jnp.repeat(jnp.arange(G), 2 * M)
+            allow = jnp.ones((num_dn + self.nq, num_dn + self.nq), bool)
+            allow = allow.at[:num_dn, :num_dn].set(gid[:, None] == gid[None, :])
+            allow = allow.at[num_dn:, :num_dn].set(False)
+            attn_mask = allow[None, None]  # (1, heads-bcast, T, T)
+
         # deformable decoder w/ iterative refinement (ref:transformer.py:389-440)
         refer = jax.nn.sigmoid(refer_bbox)
         dec_bboxes, dec_scores = [], []
@@ -546,7 +604,8 @@ class RTDETRDecoder(nn.Module):
                 d_model=self.hd, n_heads=self.nh, d_ffn=self.d_ffn,
                 n_levels=nl, n_points=self.ndp, dtype=self.dtype,
                 name=f"decoder_layers_{i}",
-            )(out, refer, feats_flat, shapes, query_pos=qpos)
+            )(out, refer, feats_flat, shapes, attn_mask=attn_mask,
+              query_pos=qpos)
             bbox = MLP(self.hd, 4, num_layers=3, dtype=self.dtype,
                        name=f"dec_bbox_head_{i}")(out).astype(f32)
             refined = jax.nn.sigmoid(bbox + inverse_sigmoid(refer))
@@ -569,11 +628,16 @@ class RTDETRDecoder(nn.Module):
                 last_refined = refined
                 refer = refined
 
-        db = jnp.stack(dec_bboxes)   # (ndl|1, B, nq, 4)
+        db = jnp.stack(dec_bboxes)   # (ndl|1, B, num_dn+nq, 4)
         ds = jnp.stack(dec_scores)
         if self.training:
-            return {"dec_bboxes": db, "dec_scores": ds,
+            outd = {"dec_bboxes": db[:, :, num_dn:], "dec_scores": ds[:, :, num_dn:],
                     "enc_bboxes": enc_bboxes, "enc_scores": enc_sel_scores}
+            if use_dn:
+                outd.update({"dn_bboxes": db[:, :, :num_dn],
+                             "dn_scores": ds[:, :, :num_dn],
+                             "dn_groups": G})
+            return outd
         y = jnp.concatenate(
             [db[-1], jax.nn.sigmoid(ds[-1].astype(f32)).astype(db.dtype)], -1)
         return y, {"enc_bboxes": enc_bboxes, "enc_scores": enc_sel_scores}

@@ -424,7 +424,7 @@ class DetectionModel(nn.Module):
             for s in self.specs
         ]
 
-    def __call__(self, x):
+    def __call__(self, x, targets=None):
         img_hw = (x.shape[1], x.shape[2])
         saved: dict[int, jax.Array] = {}
         out = x
@@ -434,8 +434,11 @@ class DetectionModel(nn.Module):
                 inp = out if f == -1 else saved[f]
             else:
                 inp = [out if j == -1 else saved[j] for j in f]
-            if spec["module"] in {"Detect", "v10Detect", "Segment", "Pose", "OBB",
-                                  "RTDETRDecoder"}:
+            if spec["module"] == "RTDETRDecoder":
+                # CDN denoising group needs the (padded) gt targets
+                out = layer(inp, img_hw=img_hw, targets=targets)
+            elif spec["module"] in {"Detect", "v10Detect", "Segment", "Pose",
+                                    "OBB"}:
                 out = layer(inp, img_hw=img_hw)
             else:
                 out = layer(inp)

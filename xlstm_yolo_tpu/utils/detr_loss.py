@@ -157,5 +157,60 @@ def rtdetr_detection_loss(out: dict, gt_cls, gt_bboxes_xyxy, mask_gt,
         tot_c = tot_c + c
         tot_b = tot_b + b
         tot_g = tot_g + g
+
+    # denoising branch: fixed matching (group g positive slot j <-> gt j),
+    # negatives are background (the contrastive part). ref:loss.py:298-331.
+    if "dn_bboxes" in out:
+        G = int(out["dn_groups"])
+        for li in range(out["dn_bboxes"].shape[0]):
+            c, b, g = _dn_layer_loss(out["dn_bboxes"][li], out["dn_scores"][li],
+                                     gt_boxes, gt_cls, valid, nc, G,
+                                     use_vfl=use_vfl)
+            tot_c = tot_c + c
+            tot_b = tot_b + b
+            tot_g = tot_g + g
+
     total = tot_c + tot_b + tot_g
     return total, LossItems(box=tot_g, cls=tot_c, dfl=tot_b)
+
+
+def _dn_layer_loss(pred_boxes, pred_logits, gt_boxes, gt_cls, valid, nc, G,
+                   use_vfl=True):
+    """Denoising-layer loss with the KNOWN assignment: reshaped to
+    (B, G, 2, M, .), slot [:, :, 0, j] is gt j's positive query."""
+    B, num_dn, _ = pred_logits.shape
+    M = gt_boxes.shape[1]
+    pb = pred_boxes.reshape(B, G, 2, M, 4)
+    ps = pred_logits.reshape(B, G, 2, M, nc).astype(f32)
+    num_gts = valid.sum() * G
+
+    gt_b = jnp.broadcast_to(gt_boxes[:, None], (B, G, M, 4))
+    pos_b = pb[:, :, 0]
+    iou = bbox_iou(jax.lax.stop_gradient(pos_b), gt_b, xywh=True).reshape(B, G, M)
+    iou = jnp.where(valid[:, None], iou, 0.0)
+
+    # class targets: positives carry gt class (valid), everything else bg
+    one_hot_pos = jax.nn.one_hot(gt_cls, nc, dtype=f32) * valid[..., None]
+    one_hot = jnp.zeros((B, G, 2, M, nc), f32).at[:, :, 0].set(
+        jnp.broadcast_to(one_hot_pos[:, None], (B, G, M, nc)))
+    gt_scores = jnp.zeros((B, G, 2, M, nc), f32).at[:, :, 0].set(
+        iou[..., None] * jnp.broadcast_to(one_hot_pos[:, None], (B, G, M, nc)))
+
+    logits = ps.reshape(B, num_dn, nc)
+    oh = one_hot.reshape(B, num_dn, nc)
+    gs = gt_scores.reshape(B, num_dn, nc)
+    bce = optax_sigmoid_bce(logits, gs if use_vfl else oh)
+    if use_vfl:
+        w = alpha_vfl(logits, gs, oh)
+        loss_cls = (bce * w).mean(1).sum()
+    else:
+        pprob = jax.nn.sigmoid(logits)
+        p_t = oh * pprob + (1 - oh) * (1 - pprob)
+        loss_cls = (bce * ((1 - p_t) ** 1.5) * (oh * 0.25 + (1 - oh) * 0.75)).mean(1).sum()
+    loss_cls = loss_cls / (jnp.maximum(num_gts, 1) / num_dn)
+
+    vmask = jnp.broadcast_to(valid[:, None], (B, G, M))
+    l1 = (jnp.abs(pos_b - gt_b).sum(-1) * vmask).sum() / jnp.maximum(num_gts, 1)
+    giou = bbox_iou(pos_b, gt_b, xywh=True, kind="giou").reshape(B, G, M)
+    loss_giou = ((1.0 - giou) * vmask).sum() / jnp.maximum(num_gts, 1)
+    return loss_cls * 1.0, l1 * 5.0, loss_giou * 2.0
