@@ -1,0 +1,155 @@
+"""Torch SAM checkpoint -> flax params conversion.
+
+Maps the reference state-dict layout (ref:ultralytics/models/sam/build.py
+_build_sam; facebookresearch SAM checkpoints use the same names) onto
+:mod:`xlstm_yolo_tpu.models.sam.modules`.  Works with any config —
+including tiny random-weight instances, which is how the golden tests
+establish numerical parity without pretrained downloads.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["convert_sam_state_dict"]
+
+
+def _lin(sd, name):
+    return {"kernel": np.ascontiguousarray(sd[f"{name}.weight"].T),
+            "bias": np.asarray(sd[f"{name}.bias"])}
+
+
+def _lin_nobias(sd, name):
+    return {"kernel": np.ascontiguousarray(sd[f"{name}.weight"].T)}
+
+
+def _conv(sd, name, bias=True):
+    out = {"kernel": np.ascontiguousarray(
+        np.transpose(sd[f"{name}.weight"], (2, 3, 1, 0)))}
+    if bias:
+        out["bias"] = np.asarray(sd[f"{name}.bias"])
+    return out
+
+
+def _convT(sd, name):
+    # torch ConvTranspose2d weight (in, out, kh, kw) -> flax (kh, kw, in, out),
+    # spatially flipped (torch correlates the transposed kernel)
+    w = np.transpose(sd[f"{name}.weight"], (2, 3, 0, 1))[::-1, ::-1]
+    return {"kernel": np.ascontiguousarray(w),
+            "bias": np.asarray(sd[f"{name}.bias"])}
+
+
+def _ln(sd, name):
+    return {"scale": np.asarray(sd[f"{name}.weight"]),
+            "bias": np.asarray(sd[f"{name}.bias"])}
+
+
+def _ln2d(sd, name):
+    return {"weight": np.asarray(sd[f"{name}.weight"]),
+            "bias": np.asarray(sd[f"{name}.bias"])}
+
+
+def _attn_ds(sd, name):
+    return {p: _lin(sd, f"{name}.{p}") for p in
+            ("q_proj", "k_proj", "v_proj", "out_proj")}
+
+
+def _mlp_block(sd, name):
+    return {"lin1": _lin(sd, f"{name}.lin1"), "lin2": _lin(sd, f"{name}.lin2")}
+
+
+def _sam_mlp(sd, name, n):
+    return {f"layers_{j}": _lin(sd, f"{name}.layers.{j}") for j in range(n)}
+
+
+def convert_image_encoder(sd, depth: int) -> dict:
+    p = {
+        "patch_embed_kernel": np.ascontiguousarray(
+            np.transpose(sd["patch_embed.proj.weight"], (2, 3, 1, 0))),
+        "patch_embed_bias": np.asarray(sd["patch_embed.proj.bias"]),
+        "pos_embed": np.asarray(sd["pos_embed"]),
+        "neck_conv1": _conv(sd, "neck.0", bias=False),
+        "neck_ln1": _ln2d(sd, "neck.1"),
+        "neck_conv2": _conv(sd, "neck.2", bias=False),
+        "neck_ln2": _ln2d(sd, "neck.3"),
+    }
+    for i in range(depth):
+        b = f"blocks.{i}"
+        p[f"blocks_{i}"] = {
+            "norm1": _ln(sd, f"{b}.norm1"),
+            "norm2": _ln(sd, f"{b}.norm2"),
+            "attn": {
+                "qkv": _lin(sd, f"{b}.attn.qkv"),
+                "proj": _lin(sd, f"{b}.attn.proj"),
+                "rel_pos_h": np.asarray(sd[f"{b}.attn.rel_pos_h"]),
+                "rel_pos_w": np.asarray(sd[f"{b}.attn.rel_pos_w"]),
+            },
+            "mlp": _mlp_block(sd, f"{b}.mlp"),
+        }
+    return p
+
+
+def convert_prompt_encoder(sd) -> dict:
+    p = {
+        "pe_layer": {"positional_encoding_gaussian_matrix": np.asarray(
+            sd["pe_layer.positional_encoding_gaussian_matrix"])},
+        "not_a_point_embed": np.asarray(sd["not_a_point_embed.weight"])[0],
+        "no_mask_embed": np.asarray(sd["no_mask_embed.weight"])[0],
+        "mask_conv1": _conv(sd, "mask_downscaling.0"),
+        "mask_ln1": _ln2d(sd, "mask_downscaling.1"),
+        "mask_conv2": _conv(sd, "mask_downscaling.3"),
+        "mask_ln2": _ln2d(sd, "mask_downscaling.4"),
+        "mask_conv3": _conv(sd, "mask_downscaling.6"),
+    }
+    for i in range(4):
+        p[f"point_embed_{i}"] = np.asarray(sd[f"point_embeddings.{i}.weight"])[0]
+    return p
+
+
+def convert_two_way_transformer(sd, prefix: str, depth: int = 2) -> dict:
+    p = {}
+    for i in range(depth):
+        b = f"{prefix}layers.{i}"
+        p[f"layers_{i}"] = {
+            "self_attn": _attn_ds(sd, f"{b}.self_attn"),
+            "cross_attn_token_to_image": _attn_ds(sd, f"{b}.cross_attn_token_to_image"),
+            "cross_attn_image_to_token": _attn_ds(sd, f"{b}.cross_attn_image_to_token"),
+            "mlp": _mlp_block(sd, f"{b}.mlp"),
+            "norm1": _ln(sd, f"{b}.norm1"),
+            "norm2": _ln(sd, f"{b}.norm2"),
+            "norm3": _ln(sd, f"{b}.norm3"),
+            "norm4": _ln(sd, f"{b}.norm4"),
+        }
+    p["final_attn_token_to_image"] = _attn_ds(sd, f"{prefix}final_attn_token_to_image")
+    p["norm_final_attn"] = _ln(sd, f"{prefix}norm_final_attn")
+    return p
+
+
+def convert_mask_decoder(sd, num_mask_tokens: int = 4, tf_depth: int = 2) -> dict:
+    p = {
+        "iou_token": np.asarray(sd["iou_token.weight"])[0],
+        "mask_tokens": np.asarray(sd["mask_tokens.weight"]),
+        "transformer": convert_two_way_transformer(sd, "transformer.", tf_depth),
+        "upscale_conv1": _convT(sd, "output_upscaling.0"),
+        "upscale_ln": _ln2d(sd, "output_upscaling.1"),
+        "upscale_conv2": _convT(sd, "output_upscaling.3"),
+        "iou_prediction_head": _sam_mlp(sd, "iou_prediction_head", 3),
+    }
+    for i in range(num_mask_tokens):
+        p[f"output_hypernetworks_mlps_{i}"] = _sam_mlp(
+            sd, f"output_hypernetworks_mlps.{i}", 3)
+    return p
+
+
+def convert_sam_state_dict(state_dict, depth: int = 12) -> dict:
+    """Full SAMModel params from a torch SAM state dict (numpy tensors)."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+
+    def sub(prefix):
+        return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+    return {
+        "image_encoder": convert_image_encoder(sub("image_encoder."), depth),
+        "prompt_encoder": convert_prompt_encoder(sub("prompt_encoder.")),
+        "mask_decoder": convert_mask_decoder(sub("mask_decoder.")),
+    }
