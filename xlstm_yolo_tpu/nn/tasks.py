@@ -26,18 +26,24 @@ from xlstm_yolo_tpu.nn import head as H
 DEFAULT_CHUNKWISE_KERNEL = "auto"
 
 
-def resolve_chunkwise_kernel(name: str) -> str:
+def resolve_chunkwise_kernel(name: str, training: bool = False) -> str:
     """'auto' -> Pallas v2 on TPU, XLA chunkwise scan elsewhere.
 
     The round-1 blocker (full-graph Pallas + top-k gathers faulting the
     TPU runtime) is resolved: with the gather-free one-hot-matmul
     postprocess the fused program runs at every validated batch size
     (docs/KNOWN_ISSUES.md).  The v2 (B,S,H)-layout head-grouped kernel
-    is the faster model body (dispatch-amortized 216 vs 193 img/s at
-    batch 8; cell microbench 5.4 vs 6.3 ms), so TPU defaults to it;
-    short sequences (<1024) inside the model still fall back to the XLA
-    scan per the measured crossover (nn/layers.py).
+    is the faster model body for BOTH eval (dispatch-amortized 216 vs
+    193 img/s at batch 8) and training (41.5 vs 34.1 img/s full train
+    step at batch 8 -- the custom-VJP backward avoids the XLA scan's
+    (L, L) HBM spills), so TPU defaults to it; short sequences (<1024)
+    inside the model still fall back to the XLA scan per the measured
+    crossover (nn/layers.py).  Train/eval twins share params across
+    kernel choices (the cell's param structure is kernel-independent).
+    Note: the train-step compile (~3 min) is host-CPU-bound -- on a
+    loaded host it can appear to hang (docs/KNOWN_ISSUES.md).
     """
+    del training  # same choice for both modes (kept for call-site clarity)
     if name != "auto":
         return name
     try:
@@ -464,7 +470,7 @@ def build_detection_model(
     if nc is not None and nc != d.get("nc"):
         d["nc"] = nc
     specs, save, ch_list = parse_model_specs(d, ch=ch, scale=scale)
-    chunkwise_kernel = resolve_chunkwise_kernel(chunkwise_kernel)
+    chunkwise_kernel = resolve_chunkwise_kernel(chunkwise_kernel, training=training)
     model = DetectionModel(
         specs=tuple(specs),
         save=tuple(save),
