@@ -222,3 +222,29 @@ def test_profiling_trace_harness(tmp_path):
     with trace(tmp_path / "prof2"):
         with annotate("one"):
             float(f(x))
+
+
+def test_sequence_parallel_chunkwise_exact():
+    """S sharded over the 8-device CPU mesh == single-device chunkwise
+    (SURVEY §2.6 long-context design: tiny (C, n) states thread between
+    shards; the recurrence is associative so sharding is exact)."""
+    from jax.sharding import Mesh
+
+    from xlstm_yolo_tpu.ops.mlstm_chunkwise import mlstm_siging_chunkwise
+    from xlstm_yolo_tpu.parallel.sequence import sequence_parallel_chunkwise
+
+    devs = np.array(jax.devices()[:8])
+    assert devs.size == 8, "conftest must provide the 8-device CPU mesh"
+    mesh = Mesh(devs, ("seq",))
+
+    B, NH, S, DH = 2, 3, 512, 16
+    r = np.random.default_rng(0)
+    q, k, v = (jnp.asarray(r.normal(size=(B, NH, S, DH)), jnp.float32)
+               for _ in range(3))
+    i = jnp.asarray(r.normal(size=(B, NH, S)), jnp.float32)
+    f = jnp.asarray(r.normal(size=(B, NH, S)) + 2.0, jnp.float32)
+
+    ref = mlstm_siging_chunkwise(q, k, v, i, f, chunk_size=64)
+    h = sequence_parallel_chunkwise(mesh, "seq", q, k, v, i, f, chunk_size=64)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
