@@ -65,10 +65,12 @@ def chunkwise_shard_states(k, v, i, f, chunk_size: int):
         return (G * g_k, g_k[..., None, None] * C + dC_k,
                 g_k[..., None] * n + dN_k), None
 
+    # carry inits derive from the (possibly shard_map-varying) inputs so
+    # the scan carry types match under manual-axes tracking
+    zeroC = dC[:, :, 0] * 0.0
     (G, C, n), _ = jax.lax.scan(
         step,
-        (jnp.ones((B, NH), f32), jnp.zeros((B, NH, DHQK, DHHV), f32),
-         jnp.zeros((B, NH, DHQK), f32)),
+        (gbar[..., 0] * 0.0 + 1.0, zeroC, dN[:, :, 0] * 0.0),
         (jnp.moveaxis(gbar, -1, 0), jnp.moveaxis(dC, 2, 0),
          jnp.moveaxis(dN, 2, 0)),
     )
@@ -114,7 +116,7 @@ def sequence_parallel_chunkwise(
 
         (_, _), (C_pref, n_pref) = jax.lax.scan(
             compose,
-            (jnp.zeros_like(C), jnp.zeros_like(n)),
+            (C * 0.0, n * 0.0),
             (Gs, Cs, ns),
         )  # emits the state *before* each shard
         C_in = C_pref[idx]
@@ -130,7 +132,6 @@ def sequence_parallel_chunkwise(
         local, mesh=mesh,
         in_specs=(spec4, spec4, spec4, spec3, spec3),
         out_specs=spec4,
-        check_rep=False,
     )
     cons = partial(jax.lax.with_sharding_constraint)
     q = cons(q, NamedSharding(mesh, spec4))
