@@ -75,6 +75,7 @@ def test_vil_extras_shapes(rng):
     assert hv.apply(vv, img).shape == (2, 10)
 
 
+@pytest.mark.slow
 def test_seg_pose_heads_and_losses(rng):
     """Tiny seg/pose configs build, losses are finite with nonzero grads
     (the 'one config trains a step' foundation check)."""

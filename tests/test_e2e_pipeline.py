@@ -69,6 +69,7 @@ def test_dataset_and_loader(synth_dataset):
     assert b["bboxes"].min() >= 0 and b["bboxes"].max() <= 160
 
 
+@pytest.mark.slow
 def test_train_val_predict_roundtrip(synth_dataset, tmp_path):
     from xlstm_yolo_tpu.engine.trainer import DetectionTrainer
 
@@ -129,6 +130,7 @@ def test_predictor_on_image(tmp_path):
     assert isinstance(js, list)
 
 
+@pytest.mark.slow
 def test_flagship_predict_bus_jpg():
     """BASELINE config 1: 640-base192 single-image predict on bus.jpg (CPU)."""
     from pathlib import Path
@@ -152,6 +154,7 @@ def test_flagship_predict_bus_jpg():
     assert r.speed["inference"] > 0
 
 
+@pytest.mark.slow
 def test_video_track_bytetrack(tmp_path):
     """BASELINE config 4: video stream predict + ByteTrack ids."""
     import cv2
@@ -199,6 +202,7 @@ def test_validator_save_json(synth_dataset, tmp_path):
     assert v.confusion_matrix.matrix.shape == (3, 3)
 
 
+@pytest.mark.slow
 def test_augmented_loader_mosaic_mixup(synth_dataset):
     """Config-5 semantics: mosaic/mixup/HSV/affine pipeline yields valid
     fixed-shape batches with in-bounds labels."""
@@ -262,6 +266,7 @@ def synth_obb_dataset(tmp_path_factory):
     return data_yaml
 
 
+@pytest.mark.slow
 def test_obb_train_val_predict(synth_obb_dataset, tmp_path):
     """OBB task end-to-end: dataset rbox targets -> train epoch -> rotated
     val -> predictor Results.obb."""
@@ -291,6 +296,7 @@ def test_obb_train_val_predict(synth_obb_dataset, tmp_path):
         assert res[0].obb.xyxyxyxy.shape[1:] == (4, 2)
 
 
+@pytest.mark.slow
 def test_classify_train_val_predict(tmp_path):
     """Classification task end-to-end on a folder dataset."""
     import cv2
@@ -330,6 +336,7 @@ def test_classify_train_val_predict(tmp_path):
     assert res[0].probs is not None and res[0].probs.top1 is not None
 
 
+@pytest.mark.slow
 def test_int8_ptq_export_roundtrip(tmp_path):
     """orbax_int8 export -> AutoBackend load: outputs match bf16 weights
     closely (weight-only PTQ)."""
@@ -397,6 +404,7 @@ def test_throughput_engine_scan_parity():
             o, np.asarray(predict(jnp.asarray(b))), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fastsam_prompted_predict(synth_dataset):
     """FastSAM: segment-everything + bbox/point prompt selection
     (ref:models/fastsam/predict.py:47-123)."""
@@ -427,6 +435,7 @@ def test_fastsam_prompted_predict(synth_dataset):
         m.predict(str(src), conf=0.0, imgsz=160, texts="a red box")
 
 
+@pytest.mark.slow
 def test_rtdetr_predict_and_val(synth_dataset):
     """RT-DETR plugin: tiny graph builds, predicts, and validates e2e
     (ref:models/rtdetr/{model,predict,val}.py)."""
@@ -447,6 +456,7 @@ def test_rtdetr_predict_and_val(synth_dataset):
     assert "metrics/mAP50-95(B)" in metrics or hasattr(metrics, "box")
 
 
+@pytest.mark.slow
 def test_rtdetr_train_short(synth_dataset):
     """RT-DETR trains a couple of steps through the standard trainer
     (Hungarian DETR loss via pure_callback under jit)."""

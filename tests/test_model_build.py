@@ -87,6 +87,7 @@ def test_train_eval_param_structure_identical():
     assert jax.tree.structure(s_eval["params"]) == jax.tree.structure(s_train["params"])
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", ["640-base192.yaml", "640-base256.yaml", "640-base384.yaml"])
 def test_all_reference_configs_compile(name):
     """All three shipped reference configs parse and shape-check."""
