@@ -30,18 +30,24 @@ f32 = jnp.float32
 
 
 def sincos_pos_embed_2d(h: int, w: int, dim: int, temperature: float = 10000.0):
-    """2d sine-cosine positional embedding (ref:transformer.py:98-115)."""
+    """2d sine-cosine positional embedding, reference-exact.
+
+    Reproduces ref:transformer.py:101-115 bit-for-bit, including its
+    quirk: the (w, h) 'ij' meshgrid is flattened w-major while the
+    feature map flattens h-major — the embedding rows land transposed
+    relative to the spatial layout.  Checkpoint parity requires copying
+    that behavior, not fixing it.
+    """
     assert dim % 4 == 0, "embed dim must be divisible by 4 for 2d sincos"
     pos_dim = dim // 4
     omega = 1.0 / (temperature ** (jnp.arange(pos_dim, dtype=f32) / pos_dim))
-    out_w = jnp.arange(w, dtype=f32)[:, None] * omega[None]  # (w, pos_dim)
-    out_h = jnp.arange(h, dtype=f32)[:, None] * omega[None]
-    pos_w = jnp.concatenate([jnp.sin(out_w), jnp.cos(out_w)], -1)  # (w, dim/2)
-    pos_h = jnp.concatenate([jnp.sin(out_h), jnp.cos(out_h)], -1)
-    pos = jnp.concatenate(
-        [jnp.tile(pos_w[None], (h, 1, 1)), jnp.tile(pos_h[:, None], (1, w, 1))], -1
-    )  # (h, w, dim)
-    return pos.reshape(1, h * w, dim)
+    gw, gh = jnp.meshgrid(jnp.arange(w, dtype=f32), jnp.arange(h, dtype=f32),
+                          indexing="ij")
+    out_w = gw.reshape(-1)[:, None] * omega[None]  # (w*h, pos_dim)
+    out_h = gh.reshape(-1)[:, None] * omega[None]
+    return jnp.concatenate(
+        [jnp.sin(out_w), jnp.cos(out_w), jnp.sin(out_h), jnp.cos(out_h)], -1
+    )[None]  # (1, w*h, dim)
 
 
 class MLP(nn.Module):
