@@ -454,9 +454,14 @@ class MatrixLSTMCell(nn.Module):
 
         qb, kb, vb = q.astype(cd), k.astype(cd), v.astype(cd)
         want_state = state is not None
+        # measured on-chip (B8, NH12, S6400): L=1024 runs 6.51 ms vs 7.25
+        # at the configs' 512 (fewer sequential grid steps; ragged tail is
+        # masked in-kernel). Chunk size is numerics-neutral for the exact
+        # recurrence, so upgrade long sequences; L=1600+ overflows VMEM.
+        cs = 1024 if (S >= 4096 and self.chunk_size < 1024) else self.chunk_size
         out = kern(
             qb, kb, vb, i_pre, f_pre, num_heads=NH,
-            chunk_size=self.chunk_size, eps=self.eps, compute_dtype=cd,
+            chunk_size=cs, eps=self.eps, compute_dtype=cd,
             c_initial=state[0] if want_state else None,
             n_initial=state[1] if want_state else None,
             return_last_states=want_state,
