@@ -293,3 +293,36 @@ def test_slstm_pallas_matches_scan(rng):
     np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_s), atol=1e-5)
     for a, b in zip(st_s, st_p):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+
+
+def test_v2_fused_outnorm_matches_native_cell(rng):
+    """Inference cell with the LN epilogue fused into the v2 kernel ==
+    native-kernel cell with the separate MultiHeadLayerNorm (f32)."""
+    import jax
+    import jax.numpy as jnp
+
+    from xlstm_yolo_tpu.nn.layers import MatrixLSTMCell
+
+    B, S, H, NH = 2, 1536, 64, 4  # S >= 1024 so the v2 path engages
+    q = jnp.asarray(rng.normal(size=(B, S, H)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, S, H)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, H)), jnp.float32)
+
+    cell_v2 = MatrixLSTMCell(dim=H, num_heads=NH, chunk_size=256,
+                             mode="inference", fuse_outnorm=True,
+                             chunkwise_kernel="chunkwise--pallas_xl_chunk_siging_v2")
+    cell_nat = MatrixLSTMCell(dim=H, num_heads=NH, chunk_size=256,
+                              mode="inference",
+                              chunkwise_kernel="chunkwise--native_autograd")
+    variables = cell_nat.init(jax.random.PRNGKey(0), q, k, v)
+    # non-trivial norm params so the fusion is actually exercised
+    p = jax.tree.map(np.asarray, variables["params"])
+    r2 = np.random.default_rng(1)
+    p["outnorm"]["weight"] = r2.normal(size=H).astype(np.float32) * 0.3
+    p["outnorm"]["bias"] = r2.normal(size=H).astype(np.float32) * 0.1
+    variables = {"params": jax.tree.map(jnp.asarray, p)}
+
+    h_nat = cell_nat.apply(variables, q, k, v)
+    h_v2 = cell_v2.apply(variables, q, k, v)
+    np.testing.assert_allclose(np.asarray(h_v2), np.asarray(h_nat),
+                               atol=3e-4, rtol=1e-3)

@@ -379,6 +379,7 @@ class MatrixLSTMCell(nn.Module):
     norm_bias: bool = True
     eps: float = 5e-5
     compute_dtype: Any = None  # cast q/k/v for the kernel (e.g. bf16)
+    fuse_outnorm: bool = False  # fuse LN into the v2 kernel (see _call_v2_bsh)
 
     @nn.compact
     def __call__(self, q, k, v, state=None):
@@ -454,11 +455,34 @@ class MatrixLSTMCell(nn.Module):
 
         qb, kb, vb = q.astype(cd), k.astype(cd), v.astype(cd)
         want_state = state is not None
-        # measured on-chip (B8, NH12, S6400): L=1024 runs 6.51 ms vs 7.25
-        # at the configs' 512 (fewer sequential grid steps; ragged tail is
-        # masked in-kernel). Chunk size is numerics-neutral for the exact
-        # recurrence, so upgrade long sequences; L=1600+ overflows VMEM.
+        # measured on-chip (B8, NH12, S6400): requesting L=1024 (the bsh
+        # wrapper's divisor policy lands on 800) runs 6.51 ms vs 7.25 at
+        # the configs' 512->400 (fewer sequential grid steps). Chunk size
+        # is numerics-neutral for the exact recurrence, so upgrade long
+        # sequences; L=1600 overflows the remote compiler's VMEM budget.
         cs = 1024 if (S >= 4096 and self.chunk_size < 1024) else self.chunk_size
+        if self.mode == "inference" and self.fuse_outnorm:
+            # fuse the outnorm epilogue into the kernel. Measured SLOWER
+            # on v5e at the flagship shapes (200 vs 211 img/s e2e): the
+            # per-head mean/var over DHHV=32 is a 32-lane reduction the
+            # VPU handles worse than XLA's fused norm over the full
+            # (B, S, NH, DH) — so this is opt-in, kept for shapes with
+            # DH >= 128 where the tradeoff may flip.
+            w, b = _MHLNParams(NH * DH, use_bias=self.norm_bias,
+                               name="outnorm")()
+            out = kern(
+                qb, kb, vb, i_pre, f_pre, num_heads=NH,
+                chunk_size=cs, eps=self.eps, compute_dtype=cd,
+                c_initial=state[0] if want_state else None,
+                n_initial=state[1] if want_state else None,
+                return_last_states=want_state,
+                ln_weight=1.0 + w, ln_bias=b,
+            )
+            h, new_state = out if want_state else (out, None)
+            h = h.astype(q.dtype)
+            if state is not None:
+                return h, new_state
+            return h
         out = kern(
             qb, kb, vb, i_pre, f_pre, num_heads=NH,
             chunk_size=cs, eps=self.eps, compute_dtype=cd,
@@ -474,6 +498,23 @@ class MatrixLSTMCell(nn.Module):
         if state is not None:
             return h, new_state
         return h
+
+
+class _MHLNParams(nn.Module):
+    """Declares MultiHeadLayerNorm's params (same names/shapes/order)
+    without running it — used when the norm is fused into the Pallas
+    kernel epilogue; sharing ``name="outnorm"`` keeps checkpoints
+    identical across fused/unfused paths."""
+
+    n: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        w = self.param("weight", nn.initializers.zeros, (self.n,), f32)
+        b = (self.param("bias", nn.initializers.zeros, (self.n,), f32)
+             if self.use_bias else None)
+        return w, b
 
 
 def _ifgate_bias_init(num_heads: int) -> Callable:

@@ -64,7 +64,7 @@ def _fw_body(
     c_scr, n_scr,
     *, G: int, L: int, S: int, DHQK: int, DHHV: int, NC: int,
     qk_scale: float, eps: float, use_initial: bool, save_states: bool,
-    dtype: Any,
+    dtype: Any, lnw_ref=None, lnb_ref=None, ln_eps: float = 1e-6,
 ):
     j = pl.program_id(2)
     ragged = S % L != 0
@@ -130,9 +130,16 @@ def _fw_body(
         n_inter = jnp.sum(qbar * n_prev, axis=1, keepdims=True)
 
         den = jnp.maximum(jnp.abs(n_inter + n_intra), 1.0)  # (L, 1)
-        h_ref[0, :, h * DHHV : (h + 1) * DHHV] = (
-            (h_inter + h_intra) / (den + eps)
-        ).astype(h_ref.dtype)
+        hval = (h_inter + h_intra) / (den + eps)  # (L, DHHV) f32
+        if lnw_ref is not None:
+            # fused MultiHeadLayerNorm epilogue (inference path): per-token
+            # per-head stats over DHHV, scale = (1 + w) pre-applied by the
+            # caller; saves the separate f32 norm pass over (B, S, H)
+            mu = jnp.mean(hval, axis=1, keepdims=True)
+            var = jnp.mean((hval - mu) ** 2, axis=1, keepdims=True)
+            hval = (hval - mu) * jax.lax.rsqrt(var + ln_eps)
+            hval = hval * lnw_ref[0, h : h + 1, :] + lnb_ref[0, h : h + 1, :]
+        h_ref[0, :, h * DHHV : (h + 1) * DHHV] = hval.astype(h_ref.dtype)
         if save_states:
             nout_ref[0, 0, h : h + 1, :] = den.T
 
@@ -165,6 +172,13 @@ def _fw_kernel_infer(q, k, v, i, f, g, c0, n0,
     _fw_body(q, k, v, i, f, g, c0, n0,
              h, None, None, None, clast, nlast, c_scr, n_scr,
              save_states=False, **kw)
+
+
+def _fw_kernel_infer_ln(q, k, v, i, f, g, c0, n0, lnw, lnb,
+                        h, clast, nlast, c_scr, n_scr, **kw):
+    _fw_body(q, k, v, i, f, g, c0, n0,
+             h, None, None, None, clast, nlast, c_scr, n_scr,
+             save_states=False, lnw_ref=lnw, lnb_ref=lnb, **kw)
 
 
 def _pack_gates(i, f, NC: int, L: int):
@@ -209,6 +223,7 @@ def _fw(
     chunk_size: int = 128, head_group: int = 0,
     qk_scale: float | None = None, eps: float = 1e-6,
     compute_dtype=jnp.bfloat16, save_states: bool = True,
+    ln_weight=None, ln_bias=None,
 ):
     """q/k (B, S, NH*DHQK); v (B, S, NH*DHHV); i/f (B, S, NH)."""
     B, S, Hqk = q.shape
@@ -274,10 +289,22 @@ def _fw(
         )(q, k, v, ifl, ffl, scaG, c0, n0)
         h, n_out, cs, ns, c_last, n_last = out
     else:
+        fuse_ln = ln_weight is not None
+        infer_specs = list(in_specs)
+        args = [q, k, v, ifl, ffl, scaG, c0, n0]
+        kernel = _fw_kernel_infer
+        if fuse_ln:
+            lnw = ln_weight.astype(f32).reshape(HG, G, DHHV)
+            lnb = (jnp.zeros_like(ln_weight) if ln_bias is None
+                   else ln_bias).astype(f32).reshape(HG, G, DHHV)
+            lnspec = pl.BlockSpec((1, G, DHHV), lambda b, hg, j: (hg, 0, 0))
+            infer_specs += [lnspec, lnspec]
+            args += [lnw, lnb]
+            kernel = _fw_kernel_infer_ln
         out = pl.pallas_call(
-            functools.partial(_fw_kernel_infer, **kw),
+            functools.partial(kernel, **kw),
             grid=grid,
-            in_specs=in_specs,
+            in_specs=infer_specs,
             out_specs=[
                 pl.BlockSpec((1, L, G * DHHV), qkcols),
                 pl.BlockSpec((1, G, DHQK, DHHV), last),
@@ -290,7 +317,7 @@ def _fw(
             ],
             scratch_shapes=scratch,
             interpret=_interpret(),
-        )(q, k, v, ifl, ffl, scaG, c0, n0)
+        )(*args)
         h, c_last, n_last = out
         n_out = cs = None
 
@@ -643,11 +670,18 @@ def mlstm_siging_chunkwise_pallas_v2_bsh(
     return_last_states: bool = False,
     eps: float = 1e-6,
     compute_dtype=jnp.bfloat16,
+    ln_weight=None,
+    ln_bias=None,
 ):
     """Native entry: q/k/v (B, S, H), i/f (B, S, NH) — zero transposes.
 
     This is the model path (MatrixLSTMCell feeds (B, S, H) streams
     directly); states stay (B, NH, DHQK, DHHV) for wrapper parity.
+
+    ``ln_weight``/``ln_bias`` ((H,), scale already in (1 + w) form) fuse
+    the MultiHeadLayerNorm epilogue into the kernel — INFERENCE ONLY:
+    this path bypasses the custom VJP (differentiating it raises, it
+    does not silently drop the norm gradient).
     """
     assert normalize, "unnormalized variant not implemented in the Pallas path"
     if qk_scale is None:
@@ -666,6 +700,14 @@ def mlstm_siging_chunkwise_pallas_v2_bsh(
             if S % c == 0:
                 chunk_size = c
                 break
+    if ln_weight is not None:
+        h, _, _, c_last, n_last = _fw(
+            q, k, v, i, f, num_heads, c_initial, n_initial,
+            chunk_size=chunk_size, qk_scale=qk_scale, eps=eps,
+            compute_dtype=compute_dtype, save_states=False,
+            ln_weight=ln_weight, ln_bias=ln_bias,
+        )
+        return (h, (c_last, n_last)) if return_last_states else h
     return _chunkwise_core_v2(
         q, k, v, i, f, c_initial, n_initial,
         num_heads, chunk_size, qk_scale, eps, compute_dtype,
