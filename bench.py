@@ -133,6 +133,60 @@ def main():
     gemm_tflops = 2 * N_G**3 * IT_G / (time.perf_counter() - tg) / 1e12
     env_mfu = (gflops / sec_per_batch / 1e3) / gemm_tflops if gflops > 0 else -1.0
 
+    # host-inclusive path: JPEG decode + fused C++ letterbox + host->device
+    # upload + predict (answers the round-1 review: the headline number
+    # excludes host preprocessing). On THIS rig the number is dominated by
+    # the relay's ~40 MB/s host->device upload (9.8 MB/batch => ~250 ms);
+    # pooled decode + native letterbox measure ~10 ms/batch of it.
+    ips_host = -1.0
+    try:
+        import tempfile
+
+        import cv2
+
+        from xlstm_yolo_tpu.native import get_letterbox_native, letterbox_native
+
+        rng_np = np.random.default_rng(0)
+        with tempfile.TemporaryDirectory() as td:
+            paths = []
+            for n in range(8):
+                im = rng_np.integers(0, 255, (480, 640, 3), np.uint8)
+                p = f"{td}/{n}.jpg"
+                cv2.imwrite(p, im)
+                paths.append(p)
+            n_batches = 12
+            use_native = get_letterbox_native() is not None
+
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(8)  # cv2 + native letterbox release the GIL
+
+            def one(p):
+                im = cv2.imread(p)  # JPEG decode on host
+                if use_native:
+                    lb, _, _ = letterbox_native(im, 640, swap_rb=True)
+                else:
+                    lb = cv2.resize(im, (640, 640))[..., ::-1]
+                return lb
+
+            def batches():
+                for bi in range(n_batches):
+                    frames = list(pool.map(one, paths))
+                    yield np.ascontiguousarray(np.stack(frames), dtype=np.uint8)
+
+            # relay-safe variant of the ThroughputEngine loop: per-result
+            # host fetches pay ~25 ms relay RTT each, so dispatch all
+            # batches (host decode of batch k+1 overlaps device compute of
+            # batch k — dispatch returns immediately) and barrier once
+            outs = [predict(fused_vars, jnp.asarray(b)) for b in batches()]
+            _ = np.asarray(outs[-1])  # warm: compile + first decode pass
+            t0 = time.perf_counter()
+            outs = [predict(fused_vars, jnp.asarray(b)) for b in batches()]
+            _ = np.asarray(outs[-1])
+            ips_host = BATCH * n_batches / (time.perf_counter() - t0)
+    except Exception:
+        pass
+
     base_file = REPO / "BENCH_BASELINE.json"
     vs = 1.0
     if base_file.exists():
@@ -148,6 +202,7 @@ def main():
         "unit": "img/s",
         "vs_baseline": vs,
         "mfu": round(mfu, 4),
+        "img_s_host_fed_relay_upload_bound": round(ips_host, 2),
         "env_mfu": round(env_mfu, 4),
         "env_gemm_tflops": round(gemm_tflops, 1),
         "gflops_per_batch": round(gflops, 1),
