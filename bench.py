@@ -187,6 +187,66 @@ def main():
     except Exception:
         pass
 
+    # ---- train-step benchmark (VERDICT r3: train MFU accounting) ----
+    # one jitted step: fwd + v8 E2E loss + bwd + clip + SGD + EMA at
+    # batch 8 (the known-safe training batch on this runtime). FLOPs =
+    # XLA cost analysis of the exact train program + 3x the analytic
+    # Pallas chunkwise fw FLOPs (fw + reverse-dC + dQKV custom calls are
+    # invisible to the cost model; bwd ~= 2x fw for this kernel family).
+    train_img_s = train_ms = train_mfu = -1.0
+    try:
+        from xlstm_yolo_tpu.engine import optimizers as opt_lib
+        from xlstm_yolo_tpu.engine.steps import TrainState, make_train_step
+
+        model_tr, _ = build_detection_model(CFG, training=True, compute_dtype=jnp.bfloat16)
+        v_tr = jax.jit(model_tr.init)({"params": rng, "droppath": rng}, img_f)
+        tx, _, _ = opt_lib.build_optimizer(
+            v_tr["params"], name="SGD", lr=0.01, momentum=0.9, weight_decay=5e-4,
+        )
+        state = TrainState.create(v_tr, tx)
+        step = jax.jit(make_train_step(model_tr, tx, nc=80, accumulate=1))
+
+        M = 32
+
+        @jax.jit
+        def make_train_batch(key):
+            k1, k2, k3 = jax.random.split(key, 3)
+            img = jax.random.randint(k1, (BATCH, 640, 640, 3), 0, 255, jnp.uint8)
+            cls = jax.random.randint(k2, (BATCH, M), 0, 80, jnp.int32)
+            xy = jax.random.uniform(k3, (BATCH, M, 2), minval=40.0, maxval=560.0)
+            wh = jax.random.uniform(jax.random.fold_in(k3, 1), (BATCH, M, 2),
+                                    minval=16.0, maxval=120.0)
+            boxes = jnp.concatenate([xy, xy + wh], -1)
+            mask = jnp.arange(M)[None, :] < 8
+            return {"img": img, "cls": cls, "bboxes": boxes,
+                    "mask": jnp.broadcast_to(mask, (BATCH, M))}
+
+        T_IT, T_WARM = 8, 2
+        tkeys = jax.random.split(jax.random.PRNGKey(7), T_WARM + T_IT)
+        tbatches = [make_train_batch(k) for k in tkeys]
+        _ = np.asarray(tbatches[-1]["img"][0, 0, 0])
+        srng = jax.random.PRNGKey(8)
+        for b in tbatches[:T_WARM]:
+            srng, sub = jax.random.split(srng)
+            state, mtr = step(state, b, sub)
+            _ = float(mtr["loss"])  # sync
+        t0 = time.perf_counter()
+        for b in tbatches[T_WARM:]:
+            srng, sub = jax.random.split(srng)
+            state, mtr = step(state, b, sub)
+        _ = float(mtr["loss"])  # ordered execution: barrier for all steps
+        dt_tr = time.perf_counter() - t0
+        train_img_s = BATCH * T_IT / dt_tr
+        train_ms = dt_tr / T_IT * 1e3
+
+        tr_gflops = get_flops(
+            lambda s, b, r: step(s, b, r), state, tbatches[0], srng
+        )
+        tr_gflops += 3.0 * _pallas_hidden_gflops(model_tr.specs, BATCH)
+        train_mfu = model_mfu(dt_tr / T_IT, tr_gflops * 1e9) if tr_gflops > 0 else -1.0
+    except Exception as e:  # the predict headline must survive train-bench issues
+        print(f"# train bench failed: {type(e).__name__}: {e}", flush=True)
+
     base_file = REPO / "BENCH_BASELINE.json"
     vs = 1.0
     if base_file.exists():
@@ -206,6 +266,9 @@ def main():
         "env_mfu": round(env_mfu, 4),
         "env_gemm_tflops": round(gemm_tflops, 1),
         "gflops_per_batch": round(gflops, 1),
+        "train_img_s": round(train_img_s, 2),
+        "train_ms_step": round(train_ms, 1),
+        "train_mfu": round(train_mfu, 4),
         "chip": detect_chip(),
     }))
 

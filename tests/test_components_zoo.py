@@ -151,13 +151,14 @@ def test_mosaic9_and_copypaste(rng, tmp_path):
     cfg = get_cfg(overrides={"imgsz": 128, "max_targets": 16})
     ds = YOLODataset(str(tmp_path / "images" / "train"), imgsz=128, augment=True,
                      hyp=cfg, max_targets=16, cache="disk")
-    img9, b9, c9 = Mosaic(ds, 128, n=9)(0, r)
+    img9, lab9 = Mosaic(ds, 128, n=9)(0, r)
+    b9 = lab9["bboxes"]
     assert img9.shape == (256, 256, 3)
     assert (b9[:, 2:] >= b9[:, :2]).all()
 
-    im, b, c = ds.load_for_mosaic(0, 128)
-    i2, b2, c2 = CopyPaste(p=1.0)(im, b, c, random.Random(1))
-    assert len(b2) >= len(b)
+    im, lab = ds.load_for_mosaic(0, 128)
+    i2, lab2 = CopyPaste(p=1.0)(im, lab, random.Random(1))
+    assert len(lab2["bboxes"]) >= len(lab["bboxes"])
     # disk cache sidecar written and reused
     assert (tmp_path / "images" / "train" / "0.npy").exists()
 

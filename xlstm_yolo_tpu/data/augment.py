@@ -5,8 +5,15 @@ geometry/color work happens on host workers in numpy (cv2), always
 emitting *static* shapes; the device side only normalizes.  Label
 geometry is carried as padded arrays, not ragged lists.
 
-Includes: LetterBox, Mosaic (4-grid), RandomPerspective (affine),
-RandomHSV, RandomFlip, MixUp, and the v8 train pipeline assembly.
+Instance-aware: every transform moves a ``labels`` dict
+``{img, cls (N,), bboxes (N,4) xyxy px, segments (N,Sp,2) px,
+keypoints (N,K,3) px | None}`` so segments and keypoints stay
+geometrically aligned with the boxes through mosaic, affine, flips and
+copy-paste (parity: ref:data/augment.py:952-1301 apply_segments /
+apply_keypoints; ref:utils/instance.py Instances).
+
+Includes: LetterBox, Mosaic (4/9-grid), RandomPerspective (affine),
+RandomHSV, RandomFlip, MixUp, CopyPaste, and the v8 train pipeline.
 """
 
 from __future__ import annotations
@@ -18,6 +25,127 @@ from typing import Any
 
 import cv2
 import numpy as np
+
+SEGMENT_RESAMPLE = 400  # fixed per-instance polygon point count
+
+
+def resample_segments(segments, n: int = SEGMENT_RESAMPLE) -> np.ndarray:
+    """Ragged polygon list -> fixed (N, n, 2) by linear interpolation.
+
+    Parity: ref:utils/ops.py resample_segments — each closed contour is
+    sampled at ``n`` evenly spaced points (the fixed point count is what
+    lets downstream transforms stay vectorized / fixed-shape).
+    """
+    out = np.zeros((len(segments), n, 2), np.float32)
+    for i, s in enumerate(segments):
+        s = np.concatenate([s, s[0:1]], axis=0)  # close the contour
+        x = np.linspace(0, len(s) - 1, n)
+        xp = np.arange(len(s))
+        out[i] = np.stack(
+            [np.interp(x, xp, s[:, 0]), np.interp(x, xp, s[:, 1])], axis=-1
+        )
+    return out
+
+
+def segments_to_boxes(segments: np.ndarray, w: float, h: float) -> np.ndarray:
+    """(N, Sp, 2) px segments -> (N, 4) xyxy boxes clipped to the canvas.
+
+    Parity: ref:data/augment.py segment2box usage after affine — boxes
+    are re-derived from the transformed point sets (points are clipped
+    to the canvas first; an instance fully outside degenerates to a
+    zero-area box and is dropped by the candidate filter).
+    """
+    if not len(segments):
+        return np.zeros((0, 4), np.float32)
+    x = segments[..., 0].clip(0, w)
+    y = segments[..., 1].clip(0, h)
+    return np.stack([x.min(1), y.min(1), x.max(1), y.max(1)], axis=1).astype(np.float32)
+
+
+def empty_labels(n: int = 0, sp: int = 0, keypoints: bool = False, K: int = 17):
+    return {
+        "cls": np.zeros((n,), np.int64),
+        "bboxes": np.zeros((n, 4), np.float32),
+        "segments": np.zeros((n, sp, 2), np.float32),
+        "keypoints": np.zeros((n, K, 3), np.float32) if keypoints else None,
+    }
+
+
+def _index_labels(labels: dict, keep) -> dict:
+    out = dict(labels)
+    out["cls"] = labels["cls"][keep]
+    out["bboxes"] = labels["bboxes"][keep]
+    out["segments"] = labels["segments"][keep]
+    if labels.get("keypoints") is not None:
+        out["keypoints"] = labels["keypoints"][keep]
+    return out
+
+
+def _cat_labels(parts: list[dict]) -> dict:
+    first = parts[0]
+    out = {
+        "cls": np.concatenate([p["cls"] for p in parts], 0),
+        "bboxes": np.concatenate([p["bboxes"] for p in parts], 0),
+        "segments": np.concatenate([p["segments"] for p in parts], 0),
+    }
+    out["keypoints"] = (
+        np.concatenate([p["keypoints"] for p in parts], 0)
+        if first.get("keypoints") is not None
+        else None
+    )
+    return out
+
+
+def _offset_labels(labels: dict, dx: float, dy: float) -> dict:
+    out = dict(labels)
+    b = labels["bboxes"].copy()
+    b[:, [0, 2]] += dx
+    b[:, [1, 3]] += dy
+    out["bboxes"] = b
+    s = labels["segments"].copy()
+    if s.size:
+        s[..., 0] += dx
+        s[..., 1] += dy
+    out["segments"] = s
+    if labels.get("keypoints") is not None:
+        k = labels["keypoints"].copy()
+        k[..., 0] += dx
+        k[..., 1] += dy
+        out["keypoints"] = k
+    return out
+
+
+def _scale_labels(labels: dict, r: float) -> dict:
+    out = dict(labels)
+    out["bboxes"] = labels["bboxes"] * r
+    out["segments"] = labels["segments"] * r
+    if labels.get("keypoints") is not None:
+        k = labels["keypoints"].copy()
+        k[..., :2] *= r
+        out["keypoints"] = k
+    return out
+
+
+def clip_labels(labels: dict, w: float, h: float) -> dict:
+    """Clip box/segment coordinates into the canvas (parity:
+    ref:utils/instance.py Instances.clip — keypoint visibility is
+    zeroed for out-of-canvas points rather than clipping them)."""
+    out = dict(labels)
+    b = labels["bboxes"].copy()
+    b[:, [0, 2]] = b[:, [0, 2]].clip(0, w)
+    b[:, [1, 3]] = b[:, [1, 3]].clip(0, h)
+    out["bboxes"] = b
+    s = labels["segments"].copy()
+    if s.size:
+        s[..., 0] = s[..., 0].clip(0, w)
+        s[..., 1] = s[..., 1].clip(0, h)
+    out["segments"] = s
+    if labels.get("keypoints") is not None:
+        k = labels["keypoints"].copy()
+        outside = (k[..., 0] < 0) | (k[..., 0] > w) | (k[..., 1] < 0) | (k[..., 1] > h)
+        k[..., 2] = np.where(outside, 0.0, k[..., 2])
+        out["keypoints"] = k
+    return out
 
 
 @dataclass
@@ -65,17 +193,11 @@ class LetterBox:
         )
         if labels is None:
             return img, ratio, (left, top)
-        labels = dict(labels)
-        if len(labels.get("bboxes", [])):
-            b = labels["bboxes"].astype(np.float32)  # xyxy pixel units
-            b = b * r
-            b[:, [0, 2]] += left
-            b[:, [1, 3]] += top
-            labels["bboxes"] = b
-        labels["img"] = img
-        labels["ratio_pad"] = (ratio, (left, top))
-        labels["resized_shape"] = img.shape[:2]
-        return labels
+        out = _offset_labels(_scale_labels(labels, r), left, top)
+        out["img"] = img
+        out["ratio_pad"] = (ratio, (left, top))
+        out["resized_shape"] = img.shape[:2]
+        return out
 
 
 @dataclass
@@ -103,37 +225,57 @@ class RandomHSV:
 
 @dataclass
 class RandomFlip:
-    """Horizontal/vertical flip with box update (parity: augment.py:1385-1477)."""
+    """Horizontal/vertical flip of image + instances (parity:
+    augment.py:1385-1477, incl. the keypoint ``flip_idx`` left/right
+    swap on horizontal flips)."""
 
     p: float = 0.5
     direction: str = "horizontal"
+    flip_idx: Any = None  # (K,) index map for keypoint left/right swap
 
-    def __call__(self, img, bboxes, rng: random.Random):
+    def __call__(self, img, labels: dict, rng: random.Random):
         h, w = img.shape[:2]
         if rng.random() >= self.p:
-            return img, bboxes
+            return img, labels
+        out = dict(labels)
+        b = labels["bboxes"].copy()
+        s = labels["segments"].copy()
+        k = labels["keypoints"].copy() if labels.get("keypoints") is not None else None
         if self.direction == "horizontal":
             img = np.fliplr(img)
-            if len(bboxes):
-                bboxes = bboxes.copy()
-                x1 = bboxes[:, 0].copy()
-                bboxes[:, 0] = w - bboxes[:, 2]
-                bboxes[:, 2] = w - x1
+            if len(b):
+                x1 = b[:, 0].copy()
+                b[:, 0] = w - b[:, 2]
+                b[:, 2] = w - x1
+            if s.size:
+                s[..., 0] = w - s[..., 0]
+            if k is not None:
+                k[..., 0] = w - k[..., 0]
+                if self.flip_idx is not None and len(self.flip_idx) == k.shape[1]:
+                    k = np.ascontiguousarray(k[:, np.asarray(self.flip_idx, int), :])
         else:
             img = np.flipud(img)
-            if len(bboxes):
-                bboxes = bboxes.copy()
-                y1 = bboxes[:, 1].copy()
-                bboxes[:, 1] = h - bboxes[:, 3]
-                bboxes[:, 3] = h - y1
-        return np.ascontiguousarray(img), bboxes
+            if len(b):
+                y1 = b[:, 1].copy()
+                b[:, 1] = h - b[:, 3]
+                b[:, 3] = h - y1
+            if s.size:
+                s[..., 1] = h - s[..., 1]
+            if k is not None:
+                k[..., 1] = h - k[..., 1]
+        out["bboxes"], out["segments"], out["keypoints"] = b, s, k
+        return np.ascontiguousarray(img), out
 
 
 @dataclass
 class RandomPerspective:
-    """Affine warp (rotate/translate/scale/shear) + box transform.
+    """Affine warp (rotate/translate/scale/shear) + instance transform.
 
-    Parity: augment.py:952-1301 with candidate filtering (area/ar/wh).
+    Parity: augment.py:952-1301 — segments are transformed pointwise and
+    the boxes re-derived from them (apply_segments); keypoints are
+    transformed with out-of-canvas points marked invisible
+    (apply_keypoints); candidate filtering (area/ar/wh) indexes all
+    geometry together.
     """
 
     degrees: float = 0.0
@@ -144,10 +286,7 @@ class RandomPerspective:
     border: tuple[int, int] = (0, 0)
     pad_value: int = 114
 
-    def __call__(self, img, bboxes, cls, rng: random.Random):
-        h = img.shape[0] + self.border[0] * 2
-        w = img.shape[1] + self.border[1] * 2
-
+    def _matrix(self, img, rng: random.Random):
         C = np.eye(3)
         C[0, 2] = -img.shape[1] / 2
         C[1, 2] = -img.shape[0] / 2
@@ -162,9 +301,26 @@ class RandomPerspective:
         S[0, 1] = math.tan(rng.uniform(-self.shear, self.shear) * math.pi / 180)
         S[1, 0] = math.tan(rng.uniform(-self.shear, self.shear) * math.pi / 180)
         T = np.eye(3)
+        h = img.shape[0] + self.border[0] * 2
+        w = img.shape[1] + self.border[1] * 2
         T[0, 2] = rng.uniform(0.5 - self.translate, 0.5 + self.translate) * w
         T[1, 2] = rng.uniform(0.5 - self.translate, 0.5 + self.translate) * h
-        M = T @ S @ R @ P @ C
+        return T @ S @ R @ P @ C, s, w, h
+
+    def _apply_points(self, pts: np.ndarray, M: np.ndarray) -> np.ndarray:
+        """(..., 2) -> (..., 2) through the homography."""
+        shp = pts.shape
+        xy = np.ones((int(np.prod(shp[:-1])), 3))
+        xy[:, :2] = pts.reshape(-1, 2)
+        xy = xy @ M.T
+        if self.perspective:
+            xy = xy[:, :2] / xy[:, 2:3]
+        else:
+            xy = xy[:, :2]
+        return xy.reshape(shp).astype(np.float32)
+
+    def __call__(self, img, labels: dict, rng: random.Random):
+        M, s, w, h = self._matrix(img, rng)
 
         if (self.border[0] != 0) or (self.border[1] != 0) or (M != np.eye(3)).any():
             if self.perspective:
@@ -176,20 +332,46 @@ class RandomPerspective:
                     img, M[:2], dsize=(w, h), borderValue=(self.pad_value,) * 3
                 )
 
+        bboxes = labels["bboxes"]
         n = len(bboxes)
-        if n:
-            xy = np.ones((n * 4, 3))
-            xy[:, :2] = bboxes[:, [0, 1, 2, 3, 0, 3, 2, 1]].reshape(n * 4, 2)
-            xy = xy @ M.T
-            xy = (xy[:, :2] / xy[:, 2:3] if self.perspective else xy[:, :2]).reshape(n, 8)
+        if not n:
+            out = dict(labels)
+            out["img"] = img
+            return img, out
+
+        segments = labels["segments"]
+        use_segments = segments.size > 0
+        if use_segments:
+            new_segments = self._apply_points(segments, M)
+            new = segments_to_boxes(new_segments, w, h)
+        else:
+            new_segments = segments
+            xy = self._apply_points(
+                bboxes[:, [0, 1, 2, 3, 0, 3, 2, 1]].reshape(n, 4, 2), M
+            ).reshape(n, 8)
             x = xy[:, [0, 2, 4, 6]]
             y = xy[:, [1, 3, 5, 7]]
             new = np.stack([x.min(1), y.min(1), x.max(1), y.max(1)], axis=1)
             new[:, [0, 2]] = new[:, [0, 2]].clip(0, w)
             new[:, [1, 3]] = new[:, [1, 3]].clip(0, h)
-            keep = _box_candidates(bboxes.T * s, new.T)
-            bboxes, cls = new[keep], cls[keep]
-        return img, bboxes, cls
+
+        keypoints = labels.get("keypoints")
+        if keypoints is not None:
+            k = keypoints.copy()
+            k[..., :2] = self._apply_points(keypoints[..., :2], M)
+            outside = (k[..., 0] < 0) | (k[..., 0] > w) | (k[..., 1] < 0) | (k[..., 1] > h)
+            k[..., 2] = np.where(outside, 0.0, k[..., 2])
+            keypoints = k
+
+        keep = _box_candidates(
+            bboxes.T * s, new.T, area_thr=0.01 if use_segments else 0.1
+        )
+        out = dict(labels)
+        out["bboxes"] = new[keep]
+        out["cls"] = labels["cls"][keep]
+        out["segments"] = new_segments[keep] if use_segments else new_segments
+        out["keypoints"] = keypoints[keep] if keypoints is not None else None
+        return img, out
 
 
 def _box_candidates(box1, box2, wh_thr=2, ar_thr=100, area_thr=0.1, eps=1e-16):
@@ -201,8 +383,8 @@ def _box_candidates(box1, box2, wh_thr=2, ar_thr=100, area_thr=0.1, eps=1e-16):
 
 
 class Mosaic:
-    """4- or 9-image mosaic (parity: augment.py:490-705, incl. the 3x3
-    ``n=9`` grid at :560)."""
+    """4- or 9-image mosaic over full instance geometry (parity:
+    augment.py:490-705, incl. the 3x3 ``n=9`` grid at :560)."""
 
     def __init__(self, dataset, imgsz: int = 640, p: float = 1.0, pad_value: int = 114,
                  n: int = 4):
@@ -221,9 +403,9 @@ class Mosaic:
         xc = int(rng.uniform(s // 2, 2 * s - s // 2))
         indices = [index] + [rng.randrange(len(self.dataset)) for _ in range(3)]
         img4 = np.full((s * 2, s * 2, 3), self.pad_value, dtype=np.uint8)
-        boxes4, cls4 = [], []
+        parts = []
         for i, idx in enumerate(indices):
-            img, bboxes, cls = self.dataset.load_for_mosaic(idx, s)
+            img, labels = self.dataset.load_for_mosaic(idx, s)
             h, w = img.shape[:2]
             if i == 0:  # top-left
                 x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
@@ -238,18 +420,9 @@ class Mosaic:
                 x1a, y1a, x2a, y2a = xc, yc, min(xc + w, s * 2), min(s * 2, yc + h)
                 x1b, y1b, x2b, y2b = 0, 0, min(w, x2a - x1a), min(y2a - y1a, h)
             img4[y1a:y2a, x1a:x2a] = img[y1b:y2b, x1b:x2b]
-            padw, padh = x1a - x1b, y1a - y1b
-            if len(bboxes):
-                b = bboxes.copy()
-                b[:, [0, 2]] += padw
-                b[:, [1, 3]] += padh
-                boxes4.append(b)
-                cls4.append(cls)
-        bboxes = np.concatenate(boxes4, 0) if boxes4 else np.zeros((0, 4), np.float32)
-        cls = np.concatenate(cls4, 0) if cls4 else np.zeros((0,), np.int64)
-        bboxes[:, [0, 2]] = bboxes[:, [0, 2]].clip(0, 2 * s)
-        bboxes[:, [1, 3]] = bboxes[:, [1, 3]].clip(0, 2 * s)
-        return img4, bboxes, cls
+            parts.append(_offset_labels(labels, x1a - x1b, y1a - y1b))
+        labels4 = clip_labels(_cat_labels(parts), 2 * s, 2 * s)
+        return img4, labels4
 
     def _mosaic9(self, index: int, rng: random.Random):
         """3x3 grid around a center tile, cropped to (2s, 2s)
@@ -258,9 +431,9 @@ class Mosaic:
         indices = [index] + [rng.randrange(len(self.dataset)) for _ in range(8)]
         img9 = np.full((s * 3, s * 3, 3), self.pad_value, dtype=np.uint8)
         hp = wp = -1  # height/width of previous tile
-        boxes9, cls9 = [], []
+        parts = []
         for i, idx in enumerate(indices):
-            img, bboxes, cls = self.dataset.load_for_mosaic(idx, s)
+            img, labels = self.dataset.load_for_mosaic(idx, s)
             h, w = img.shape[:2]
             if i == 0:  # center
                 c = s, s, s + w, s + h
@@ -285,49 +458,44 @@ class Mosaic:
             x1, y1, x2, y2 = (max(x, 0) for x in c)
             img9[y1:y2, x1:x2] = img[y1 - padh :, x1 - padw :][: y2 - y1, : x2 - x1]
             hp, wp = h, w
-            if len(bboxes):
-                b = bboxes.copy()
-                b[:, [0, 2]] += padw
-                b[:, [1, 3]] += padh
-                boxes9.append(b)
-                cls9.append(cls)
+            parts.append(_offset_labels(labels, padw, padh))
         # crop the center (2s, 2s) window like the reference
         yc = int(rng.uniform(0, s))
         xc = int(rng.uniform(0, s))
         img9 = img9[yc : yc + 2 * s, xc : xc + 2 * s]
-        bboxes = np.concatenate(boxes9, 0) if boxes9 else np.zeros((0, 4), np.float32)
-        cls = np.concatenate(cls9, 0) if cls9 else np.zeros((0,), np.int64)
-        if len(bboxes):
-            bboxes[:, [0, 2]] -= xc
-            bboxes[:, [1, 3]] -= yc
-            bboxes[:, [0, 2]] = bboxes[:, [0, 2]].clip(0, 2 * s)
-            bboxes[:, [1, 3]] = bboxes[:, [1, 3]].clip(0, 2 * s)
-            keep = (bboxes[:, 2] - bboxes[:, 0] > 2) & (bboxes[:, 3] - bboxes[:, 1] > 2)
-            bboxes, cls = bboxes[keep], cls[keep]
-        return img9, bboxes, cls
+        labels9 = _offset_labels(_cat_labels(parts), -xc, -yc)
+        labels9 = clip_labels(labels9, 2 * s, 2 * s)
+        if len(labels9["bboxes"]):
+            b = labels9["bboxes"]
+            keep = (b[:, 2] - b[:, 0] > 2) & (b[:, 3] - b[:, 1] > 2)
+            labels9 = _index_labels(labels9, keep)
+        return img9, labels9
 
 
 class CopyPaste:
     """Instance copy-paste (parity: ref:data/augment.py:1636-1730).
 
-    The reference pastes segment-masked instances; this pipeline is
-    box-only, so the pasted unit is the instance's pixel rectangle,
-    horizontally flipped and placed at the mirrored x position (the
-    reference's ``mode='flip'`` placement).  Pastes skip positions that
-    would cover existing boxes by more than ``iou_thres``.
+    The reference pastes segment-masked instances; here the pasted unit
+    is the instance's pixel rectangle, horizontally flipped and placed
+    at the mirrored x position (the reference's ``mode='flip'``
+    placement), with the segment polygon mirrored to match.  Keypoint
+    datasets skip pasting (the reference also requires segments).
+    Pastes skip positions that would cover existing boxes by more than
+    ``iou_thres``.
     """
 
     def __init__(self, p: float = 0.5, iou_thres: float = 0.3):
         self.p = p
         self.iou_thres = iou_thres
 
-    def __call__(self, img, bboxes, cls, rng: random.Random):
+    def __call__(self, img, labels: dict, rng: random.Random):
+        bboxes = labels["bboxes"]
         n = len(bboxes)
-        if not n or self.p <= 0:
-            return img, bboxes, cls
+        if not n or self.p <= 0 or labels.get("keypoints") is not None:
+            return img, labels
         H, W = img.shape[:2]
         out_img = img
-        new_boxes, new_cls = [], []
+        new_parts = []
         for j in range(n):
             if rng.random() >= self.p:
                 continue
@@ -352,12 +520,18 @@ class CopyPaste:
             if out_img is img:
                 out_img = img.copy()
             out_img[y1:y2, nx1:nx2] = img[y1:y2, x1:x2][:, ::-1]
-            new_boxes.append(cand)
-            new_cls.append(cls[j])
-        if new_boxes:
-            bboxes = np.concatenate([bboxes, np.stack(new_boxes)], 0)
-            cls = np.concatenate([cls, np.asarray(new_cls)], 0)
-        return out_img, bboxes, cls
+            part = {
+                "cls": labels["cls"][j : j + 1],
+                "bboxes": cand[None],
+                "segments": labels["segments"][j : j + 1].copy(),
+                "keypoints": None,
+            }
+            if part["segments"].size:  # mirror the polygon around the paste center
+                part["segments"][..., 0] = (W - part["segments"][..., 0])
+            new_parts.append(part)
+        if new_parts:
+            labels = _cat_labels([labels] + new_parts)
+        return out_img, labels
 
 
 @dataclass
@@ -365,7 +539,8 @@ class TrainTransforms:
     """v8 train pipeline: mosaic -> affine -> HSV -> flips -> letterbox.
 
     Assembly parity: augment.py:2280-2344 (v8_transforms); mixup hook
-    included.  Produces fixed-size images + pixel-xyxy labels.
+    included.  Produces a fixed-size image + pixel-space instance
+    labels (boxes always; segments/keypoints when the dataset has them).
     """
 
     dataset: Any
@@ -385,6 +560,7 @@ class TrainTransforms:
     copy_paste: float = 0.0
     mosaic9: bool = False
     mosaic_enabled: bool = True
+    flip_idx: Any = None
 
     def __post_init__(self):
         self._mosaic = Mosaic(self.dataset, self.imgsz, self.mosaic,
@@ -402,32 +578,38 @@ class TrainTransforms:
         self._hsv = RandomHSV(self.hsv_h, self.hsv_s, self.hsv_v)
         self._letterbox = LetterBox((self.imgsz, self.imgsz))
 
-    def __call__(self, index: int, rng: random.Random):
+    def __call__(self, index: int, rng: random.Random) -> dict:
         use_mosaic = self.mosaic_enabled and rng.random() < self.mosaic
         if use_mosaic:
-            img, bboxes, cls = self._mosaic(index, rng)
-            img, bboxes, cls = self._affine(img, bboxes, cls, rng)
+            img, labels = self._mosaic(index, rng)
+            img, labels = self._affine(img, labels, rng)
             if self.mixup and rng.random() < self.mixup:
-                img2, b2, c2 = self._mosaic(rng.randrange(len(self.dataset)), rng)
-                img2, b2, c2 = self._affine(img2, b2, c2, rng)
+                img2, labels2 = self._mosaic(rng.randrange(len(self.dataset)), rng)
+                img2, labels2 = self._affine(img2, labels2, rng)
                 r = np.random.beta(32.0, 32.0)
                 img = (img * r + img2 * (1 - r)).astype(np.uint8)
-                bboxes = np.concatenate([bboxes, b2], 0)
-                cls = np.concatenate([cls, c2], 0)
+                labels = _cat_labels([labels, labels2])
         else:
-            img, bboxes, cls = self.dataset.load_for_mosaic(index, self.imgsz)
-            lb = self._letterbox(img, {"bboxes": bboxes, "cls": cls})
-            img, bboxes = lb["img"], lb["bboxes"]
-            img, bboxes, cls = self._affine_plain(img, bboxes, cls, rng)
+            img, labels = self.dataset.load_for_mosaic(index, self.imgsz)
+            labels = self._letterbox(img, labels)
+            img = labels.pop("img")
+            labels.pop("ratio_pad", None)
+            labels.pop("resized_shape", None)
+            img, labels = self._affine_plain(img, labels, rng)
 
         if self.copy_paste:
-            img, bboxes, cls = self._copy_paste(img, bboxes, cls, rng)
+            img, labels = self._copy_paste(img, labels, rng)
         img = self._hsv(img, rng)
-        img, bboxes = RandomFlip(self.flipud, "vertical")(img, bboxes, rng)
-        img, bboxes = RandomFlip(self.fliplr, "horizontal")(img, bboxes, rng)
+        img, labels = RandomFlip(self.flipud, "vertical")(img, labels, rng)
+        img, labels = RandomFlip(self.fliplr, "horizontal", self.flip_idx)(img, labels, rng)
 
         # final size guard: mosaic+border already yields imgsz
         if img.shape[0] != self.imgsz or img.shape[1] != self.imgsz:
-            lb = self._letterbox(img, {"bboxes": bboxes, "cls": cls})
-            img, bboxes = lb["img"], lb["bboxes"]
-        return img, bboxes.astype(np.float32), cls.astype(np.int64)
+            labels = self._letterbox(img, labels)
+            img = labels.pop("img")
+            labels.pop("ratio_pad", None)
+            labels.pop("resized_shape", None)
+        labels["img"] = img
+        labels["bboxes"] = labels["bboxes"].astype(np.float32)
+        labels["cls"] = labels["cls"].astype(np.int64)
+        return labels

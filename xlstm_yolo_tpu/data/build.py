@@ -127,15 +127,17 @@ def build_yolo_dataset(cfg, img_path: str, batch: int, data_info: dict, mode: st
         img_path=img_path,
         imgsz=int(cfg.imgsz),
         task=task,
-        # segment/pose keep the letterbox path (polygon-aware mosaic/affine
-        # land with the seg augmentation pass)
-        augment=(mode == "train" and task == "detect"),
+        # all det-family tasks augment: segments/keypoints/rboxes ride the
+        # instance-aware mosaic/affine/flip pipeline (data/augment.py)
+        augment=(mode == "train"),
         hyp=cfg if mode == "train" else None,
         max_targets=int(getattr(cfg, "max_targets", 128) or 128),
         single_cls=bool(getattr(cfg, "single_cls", False)),
         cache=bool(getattr(cfg, "cache", False)),
         names=data_info.get("names", {}),
         fraction=float(getattr(cfg, "fraction", 1.0) or 1.0) if mode == "train" else 1.0,
+        kpt_shape=data_info.get("kpt_shape"),
+        flip_idx=data_info.get("flip_idx"),
     )
 
 

@@ -19,7 +19,7 @@ import cv2
 import numpy as np
 import yaml
 
-from xlstm_yolo_tpu.data.augment import LetterBox, TrainTransforms
+from xlstm_yolo_tpu.data.augment import SEGMENT_RESAMPLE, LetterBox, TrainTransforms
 
 IMG_EXTS = {".bmp", ".jpeg", ".jpg", ".png", ".tif", ".tiff", ".webp", ".mpo"}
 
@@ -62,7 +62,12 @@ def img2label_path(img_path: str) -> str:
 
 
 class YOLODataset:
-    """Detection dataset: scan, verify, cache labels; serve samples."""
+    """Detection dataset: scan, verify, cache labels; serve samples.
+
+    ``task`` selects the label interpretation: 'pose' parses keypoint
+    rows (class + xywh + K*(x y [v]) — ref:ultralytics/data/dataset.py:45
+    ``use_keypoints``); 'segment'/'obb' parse polygon rows.
+    """
 
     def __init__(
         self,
@@ -76,6 +81,8 @@ class YOLODataset:
         cache: bool = False,
         names: dict | None = None,
         fraction: float = 1.0,
+        kpt_shape: tuple[int, int] | None = None,
+        flip_idx=None,
     ):
         self.img_path = img_path
         self.imgsz = imgsz
@@ -84,6 +91,9 @@ class YOLODataset:
         self.max_targets = max_targets
         self.single_cls = single_cls
         self.names = names or {}
+        self.use_keypoints = task == "pose"
+        self.kpt_shape = tuple(kpt_shape) if kpt_shape else ((17, 3) if self.use_keypoints else None)
+        self.flip_idx = list(flip_idx) if flip_idx else None
         self.im_files = self._scan_images(img_path, fraction)
         self.labels = self._load_labels()
         self.hyp = hyp
@@ -92,6 +102,12 @@ class YOLODataset:
         self.cache_mode = {True: "ram", False: None}.get(cache, cache) or None
         self._ims = [None] * len(self.im_files) if self.cache_mode == "ram" else None
         if augment and hyp is not None:
+            fliplr = getattr(hyp, "fliplr", 0.5)
+            if self.use_keypoints and not self.flip_idx and fliplr > 0:
+                # parity: ref:data/augment.py:2329 — without a flip_idx
+                # map a horizontal flip would silently swap left/right
+                # keypoint semantics, so fliplr is disabled
+                fliplr = 0.0
             self.transforms = TrainTransforms(
                 dataset=self,
                 imgsz=imgsz,
@@ -105,9 +121,10 @@ class YOLODataset:
                 hsv_h=getattr(hyp, "hsv_h", 0.015),
                 hsv_s=getattr(hyp, "hsv_s", 0.7),
                 hsv_v=getattr(hyp, "hsv_v", 0.4),
-                fliplr=getattr(hyp, "fliplr", 0.5),
+                fliplr=fliplr,
                 flipud=getattr(hyp, "flipud", 0.0),
                 copy_paste=getattr(hyp, "copy_paste", 0.0),
+                flip_idx=self.flip_idx,
             )
         else:
             self.transforms = None
@@ -136,7 +153,8 @@ class YOLODataset:
 
     def _cache_path(self) -> Path:
         h = hashlib.sha1(
-            ("".join(self.im_files) + str(self.max_targets)).encode()
+            ("".join(self.im_files) + str(self.max_targets)
+             + str(self.kpt_shape) + str(self.use_keypoints)).encode()
         ).hexdigest()[:16]
         return Path(self.im_files[0]).parent / f".xyt_labels_{h}.cache.npz"
 
@@ -148,14 +166,28 @@ class YOLODataset:
                 return list(z["labels"])
             except Exception:
                 pass
+        K, nd = self.kpt_shape if self.kpt_shape else (0, 0)
         labels = []
         for f in self.im_files:
             lp = img2label_path(f)
-            cls, boxes, segments = [], [], []
+            cls, boxes, segments, kpts = [], [], [], []
             if Path(lp).exists():
                 for line in Path(lp).read_text().splitlines():
                     vals = line.split()
-                    if len(vals) > 5 and len(vals) % 2 == 1:
+                    if self.use_keypoints and len(vals) == 5 + K * nd:
+                        # pose row: class + xywh + K*(x y [v]) normalized
+                        # (parity: ref:data/utils.py verify_image_label kpt path)
+                        c = int(float(vals[0]))
+                        xywh = np.array(list(map(float, vals[1:5])), np.float32)
+                        pts = np.array(list(map(float, vals[5:])), np.float32).reshape(K, nd)
+                        if nd == 2:
+                            vis = np.where((pts[:, 0] < 0) | (pts[:, 1] < 0), 0.0, 1.0)
+                            pts = np.concatenate([pts, vis[:, None].astype(np.float32)], 1)
+                        cls.append(0 if self.single_cls else c)
+                        boxes.append(xywh)
+                        segments.append(None)
+                        kpts.append(pts)
+                    elif not self.use_keypoints and len(vals) > 5 and len(vals) % 2 == 1:
                         # segment row: class + polygon (x y)*n normalized
                         c = int(float(vals[0]))
                         poly = np.array(list(map(float, vals[1:])), np.float32).reshape(-1, 2)
@@ -165,6 +197,7 @@ class YOLODataset:
                         boxes.append(np.array(
                             [(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1], np.float32))
                         segments.append(poly)
+                        kpts.append(None)
                     elif len(vals) >= 5:
                         c = int(float(vals[0]))
                         xywh = np.array(list(map(float, vals[1:5])), np.float32)
@@ -172,6 +205,7 @@ class YOLODataset:
                             cls.append(0 if self.single_cls else c)
                             boxes.append(xywh)
                             segments.append(None)
+                            kpts.append(None)
             cls_a = np.asarray(cls, np.int64)
             box_a = np.asarray(boxes, np.float32).reshape(-1, 4)
             if len(cls_a):
@@ -183,13 +217,19 @@ class YOLODataset:
                     idx = np.sort(idx)
                     cls_a, box_a = cls_a[idx], box_a[idx]
                     segments = [segments[j] for j in idx]
-            labels.append(
-                {
-                    "cls": cls_a,
-                    "bboxes_n": box_a,  # xywh norm
-                    "segments": segments,  # list of (K, 2) normalized polys or None
-                }
-            )
+                    kpts = [kpts[j] for j in idx]
+            lab = {
+                "cls": cls_a,
+                "bboxes_n": box_a,  # xywh norm
+                "segments": segments,  # list of (P, 2) normalized polys or None
+            }
+            if self.use_keypoints:
+                lab["keypoints_n"] = (
+                    np.stack([k if k is not None else np.zeros((K, 3), np.float32)
+                              for k in kpts])
+                    if kpts else np.zeros((0, K, 3), np.float32)
+                )  # (n, K, 3) normalized
+            labels.append(lab)
         try:
             np.savez_compressed(cache, labels=np.asarray(labels, dtype=object))
         except Exception:
@@ -216,49 +256,85 @@ class YOLODataset:
             self._ims[i] = im
         return im
 
+    def _px_labels(self, i: int, w: int, h: int) -> dict:
+        """Pixel-space labels dict for image i scaled to (w, h).
+
+        {cls, bboxes xyxy px, segments (n, Sp, 2) px (Sp=0 when the task
+        ignores polygons), keypoints (n, K, 3) px | None} — the contract
+        every transform in data/augment.py moves.
+        """
+        from xlstm_yolo_tpu.data.augment import resample_segments
+
+        lab = self.labels[i]
+        b = lab["bboxes_n"]
+        n = len(b)
+        if n:
+            xy = b[:, :2] * [w, h]
+            wh = b[:, 2:] * [w, h]
+            boxes = np.concatenate([xy - wh / 2, xy + wh / 2], 1).astype(np.float32)
+        else:
+            boxes = np.zeros((0, 4), np.float32)
+        labels = {"cls": lab["cls"].copy(), "bboxes": boxes}
+        if self.task in ("segment", "obb"):
+            # polygon per instance (box corners for box-only rows — the
+            # fallback that keeps detect-format datasets trainable)
+            polys = []
+            for j in range(n):
+                seg = lab["segments"][j]
+                if seg is not None and len(seg) >= 3:
+                    polys.append(seg * [w, h])
+                else:
+                    x1, y1, x2, y2 = boxes[j]
+                    polys.append(np.array(
+                        [[x1, y1], [x2, y1], [x2, y2], [x1, y2]], np.float32))
+            labels["segments"] = (
+                resample_segments(polys, SEGMENT_RESAMPLE)
+                if polys else np.zeros((0, SEGMENT_RESAMPLE, 2), np.float32)
+            )
+        else:
+            labels["segments"] = np.zeros((n, 0, 2), np.float32)
+        if self.use_keypoints:
+            k = lab["keypoints_n"].copy()
+            k[..., 0] *= w
+            k[..., 1] *= h
+            labels["keypoints"] = k
+        else:
+            labels["keypoints"] = None
+        return labels
+
     def load_for_mosaic(self, i: int, size: int):
-        """Image resized so the long side == size, labels in pixel xyxy."""
+        """Image resized so the long side == size + pixel-space labels."""
         im = self.load_image(i)
         h0, w0 = im.shape[:2]
         r = size / max(h0, w0)
         if r != 1:
             im = cv2.resize(im, (round(w0 * r), round(h0 * r)), interpolation=cv2.INTER_LINEAR)
         h, w = im.shape[:2]
-        lab = self.labels[i]
-        b = lab["bboxes_n"]
-        if len(b):
-            xy = b[:, :2] * [w, h]
-            wh = b[:, 2:] * [w, h]
-            boxes = np.concatenate([xy - wh / 2, xy + wh / 2], 1).astype(np.float32)
-        else:
-            boxes = np.zeros((0, 4), np.float32)
-        return im, boxes, lab["cls"].copy()
+        return im, self._px_labels(i, w, h)
 
     def get_sample(self, i: int, rng: random.Random):
-        """-> dict(img uint8 RGB HWC, cls, bboxes xyxy px, mask, meta)."""
+        """-> dict(img uint8 RGB HWC, cls, bboxes xyxy px, mask, meta,
+        + per-task masks/kpts/rboxes padded arrays)."""
         if self.transforms is not None:
-            img, bboxes, cls = self.transforms(i, rng)
+            labels = self.transforms(i, rng)
+            img, bboxes, cls = labels["img"], labels["bboxes"], labels["cls"]
             ratio_pad = None
             orig_shape = (self.imgsz, self.imgsz)
+            segments_px = labels["segments"]
+            kpts_px = labels["keypoints"]
         else:
             im = self.load_image(i)
             orig_shape = im.shape[:2]
-            lab = self.labels[i]
-            b = lab["bboxes_n"]
-            h0, w0 = orig_shape
-            if len(b):
-                xy = b[:, :2] * [w0, h0]
-                wh = b[:, 2:] * [w0, h0]
-                boxes = np.concatenate([xy - wh / 2, xy + wh / 2], 1).astype(np.float32)
-            else:
-                boxes = np.zeros((0, 4), np.float32)
-            out = self.letterbox(im, {"bboxes": boxes, "cls": lab["cls"]})
-            img, bboxes, cls = out["img"], out["bboxes"], lab["cls"]
+            labels0 = self._px_labels(i, orig_shape[1], orig_shape[0])
+            out = self.letterbox(im, labels0)
+            img, bboxes, cls = out["img"], out["bboxes"], labels0["cls"]
             ratio_pad = out["ratio_pad"]
+            segments_px = out["segments"]
+            kpts_px = out["keypoints"]
         img = np.ascontiguousarray(img[..., ::-1])  # BGR -> RGB
         masks = None
         if self.task == "segment":
-            masks = self._rasterize_masks(i, ratio_pad, len(cls))
+            masks = self._rasterize_from_segments(segments_px, len(cls))
         M = self.max_targets
         n = min(len(cls), M)
         cls_p = np.zeros((M,), np.int32)
@@ -282,60 +358,48 @@ class YOLODataset:
             mp = np.zeros((M, ms, ms), np.uint8)
             mp[: min(len(masks), M)] = masks[:M]
             sample["masks"] = mp
+        if self.use_keypoints:
+            K = self.kpt_shape[0]
+            kp = np.zeros((M, K, 3), np.float32)
+            if kpts_px is not None and len(kpts_px):
+                kp[: min(len(kpts_px), M)] = kpts_px[:M]
+            sample["kpts"] = kp
         if self.task == "obb":
-            rb = self._rboxes(i, ratio_pad, bboxes)  # (n, 5) letterboxed px
+            rb = self._rboxes_from_segments(segments_px, bboxes)  # (n, 5) px
             rb_p = np.zeros((M, 5), np.float32)
             rb_p[: min(len(rb), M)] = rb[:M]
             sample["rboxes"] = rb_p
         return sample
 
-    def _rboxes(self, i: int, ratio_pad, fallback_xyxy) -> np.ndarray:
-        """Per-instance xywhr rotated boxes in letterboxed pixels.
-
-        Polygon rows (DOTA yolo-obb format: class + 4 corner points) map
-        through cv2.minAreaRect (parity: ref:utils/ops.py
-        xyxyxyxy2xywhr); plain box rows fall back to angle 0.
-        """
-        lab = self.labels[i]
-        (rw, rh), (padw, padh) = ratio_pad if ratio_pad else ((1.0, 1.0), (0.0, 0.0))
-        h0, w0 = self.load_image(i).shape[:2]
+    def _rboxes_from_segments(self, segments_px: np.ndarray, fallback_xyxy) -> np.ndarray:
+        """Per-instance xywhr rotated boxes from the final (possibly
+        augmented) pixel-space polygons via cv2.minAreaRect (parity:
+        ref:utils/ops.py xyxyxyxy2xywhr); empty polygons fall back to
+        the axis-aligned box at angle 0."""
+        n = len(segments_px) if segments_px.size else len(fallback_xyxy)
         out = []
-        for j, seg in enumerate(lab["segments"]):
-            if seg is not None and len(seg) >= 3:
-                pts = seg * [w0, h0] * [rw, rh] + [padw, padh]
-                (cx, cy), (bw, bh), ang = cv2.minAreaRect(pts.astype(np.float32))
+        for j in range(n):
+            if segments_px.size and segments_px.shape[1] >= 3:
+                pts = segments_px[j].astype(np.float32)
+                (cx, cy), (bw, bh), ang = cv2.minAreaRect(pts)
                 out.append([cx, cy, bw, bh, ang * math.pi / 180.0])
             elif j < len(fallback_xyxy):
                 x1, y1, x2, y2 = fallback_xyxy[j]
                 out.append([(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1, 0.0])
         return np.asarray(out, np.float32).reshape(-1, 5)
 
-    def _rasterize_masks(self, i: int, ratio_pad, n: int) -> np.ndarray:
-        """Per-instance binary masks at imgsz//4, letterbox-aligned.
-
-        Polygon rows rasterize exactly; box-only rows fall back to the
-        filled box (the reference errors instead; the fallback keeps
-        detect-format datasets trainable for quick seg experiments).
+    def _rasterize_from_segments(self, segments_px: np.ndarray, n: int) -> np.ndarray:
+        """Per-instance binary masks at imgsz//4 from the final (possibly
+        augmented) pixel-space polygons — rasterizing AFTER the geometric
+        transforms keeps masks aligned with the augmented boxes (the
+        round-2 letterbox-only path rasterized pre-transform polygons).
         """
-        lab = self.labels[i]
         ms = self.imgsz // 4
-        (rw, rh), (padw, padh) = ratio_pad if ratio_pad else ((1.0, 1.0), (0.0, 0.0))
-        h0, w0 = self.load_image(i).shape[:2]
-        sx = lambda xn: (xn * w0 * rw + padw) / 4.0
-        sy = lambda yn: (yn * h0 * rh + padh) / 4.0
         out = []
-        segs = lab.get("segments", [None] * n)
-        boxes_n = lab["bboxes_n"]
-        for j in range(min(n, len(boxes_n))):
+        for j in range(min(n, len(segments_px))):
             m = np.zeros((ms, ms), np.uint8)
-            seg = segs[j] if j < len(segs) else None
-            if seg is not None:
-                pts = np.stack([sx(seg[:, 0]), sy(seg[:, 1])], -1)
-                cv2.fillPoly(m, [pts.astype(np.int32)], 1)
-            else:
-                cx, cy, bw, bh = boxes_n[j]
-                m[int(sy(cy - bh / 2)): int(sy(cy + bh / 2)),
-                  int(sx(cx - bw / 2)): int(sx(cx + bw / 2))] = 1
+            pts = (segments_px[j] / 4.0).astype(np.int32)
+            cv2.fillPoly(m, [pts], 1)
             out.append(m)
         return np.asarray(out, np.uint8).reshape(-1, ms, ms)
 
@@ -351,6 +415,8 @@ class YOLODataset:
             "ratio_pad": [s["ratio_pad"] for s in samples],
             **({"masks": np.stack([s["masks"] for s in samples])}
                if "masks" in samples[0] else {}),
+            **({"kpts": np.stack([s["kpts"] for s in samples])}
+               if "kpts" in samples[0] else {}),
             **({"rboxes": np.stack([s["rboxes"] for s in samples])}
                if "rboxes" in samples[0] else {}),
         }

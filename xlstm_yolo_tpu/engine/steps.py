@@ -50,6 +50,7 @@ def make_train_step(
     ema_decay: float = 0.9999,
     accumulate: int = 1,
     task: str = "detect",
+    kpt_shape: tuple[int, int] | None = None,
 ) -> Callable:
     """Build train_step(state, batch, rng) -> (state, metrics).
 
@@ -109,6 +110,7 @@ def make_train_step(
             total, items, _ = v8_pose_loss(
                 out, batch["cls"], batch["bboxes"], batch["mask"],
                 batch["kpts"].astype(f32), strides, nc=nc,
+                kpt_shape=kpt_shape or (17, 3),
             )
         elif task == "obb":
             from xlstm_yolo_tpu.utils.loss import v8_obb_loss

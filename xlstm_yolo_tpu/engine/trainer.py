@@ -142,13 +142,14 @@ class DetectionTrainer:
         # --- model (train + eval twins share params) ---
         compute_dtype = jnp.bfloat16 if args.amp else None
         ck = str(getattr(args, "chunkwise_kernel", "auto") or "auto")
+        kpt = tuple(data["kpt_shape"]) if (task == "pose" and data.get("kpt_shape")) else None
         model_t, mcfg = build_detection_model(
             self.model_cfg, nc=nc, training=True, compute_dtype=compute_dtype,
-            chunkwise_kernel=ck,
+            chunkwise_kernel=ck, kpt_shape=kpt,
         )
         model_e, _ = build_detection_model(
             self.model_cfg, nc=nc, training=False, compute_dtype=compute_dtype,
-            chunkwise_kernel=ck,
+            chunkwise_kernel=ck, kpt_shape=kpt,
         )
         rng = jax.random.PRNGKey(int(args.seed))
         init_img = jnp.zeros((1, imgsz, imgsz, 3), jnp.float32)
@@ -206,7 +207,9 @@ class DetectionTrainer:
         # over them as microbatches inside one optimizer step (the nbs
         # semantics of trainer.py:304,372)
         train_step = make_train_step(model_t, tx, nc=nc, accumulate=accumulate,
-                                     task=str(getattr(args, "task", "detect") or "detect"))
+                                     task=str(getattr(args, "task", "detect") or "detect"),
+                                     kpt_shape=tuple(data.get("kpt_shape") or (17, 3))
+                                     if task == "pose" else None)
         # buffer donation would halve peak HBM, but both available
         # runtimes currently reject it: the XLA CPU backend deadlocks its
         # collective rendezvous with donated multi-device buffers, and
@@ -222,6 +225,14 @@ class DetectionTrainer:
             from xlstm_yolo_tpu.models.yolo.obb.val import OBBValidator
 
             validator = OBBValidator(args, data=data, save_dir=self.save_dir)
+        elif task == "segment":
+            from xlstm_yolo_tpu.models.yolo.segment.val import SegmentationValidator
+
+            validator = SegmentationValidator(args, data=data, save_dir=self.save_dir)
+        elif task == "pose":
+            from xlstm_yolo_tpu.models.yolo.pose.val import PoseValidator
+
+            validator = PoseValidator(args, data=data, save_dir=self.save_dir)
         else:
             validator = DetectionValidator(args, data=data, save_dir=self.save_dir)
         stopper = EarlyStopping(int(args.patience))

@@ -13,6 +13,14 @@ from xlstm_yolo_tpu.utils import ops
 class PosePredictor(BasePredictor):
     kpt_shape = (17, 3)
 
+    def __init__(self, cfg, model_bundle, names):
+        super().__init__(cfg, model_bundle, names)
+        # read the head's actual keypoint shape from the model spec
+        # (the data yaml may override it, ref:models/yolo/pose/train.py:38)
+        for s in getattr(self.model, "specs", ()):
+            if s["module"] == "Pose" and len(s.get("args") or []) > 1:
+                self.kpt_shape = tuple(s["args"][1])
+
     def _forward(self, variables, img_u8):
         x = img_u8.astype(jnp.float32) / 255.0
         y, aux = self.model.apply(variables, x)  # (B, A, 4+nc+K*nd)

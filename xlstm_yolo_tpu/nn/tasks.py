@@ -464,11 +464,29 @@ def build_detection_model(
     decode_only: bool = False,
     fused: bool = False,
     sort_postprocess: bool | None = None,
+    kpt_shape: tuple[int, int] | None = None,
 ) -> tuple[DetectionModel, dict]:
-    """Compile a model YAML into a DetectionModel (+ resolved cfg dict)."""
+    """Compile a model YAML into a DetectionModel (+ resolved cfg dict).
+
+    ``kpt_shape`` overrides the Pose head's keypoint shape from the
+    dataset yaml (parity: ref:models/yolo/pose/train.py:38 — the
+    trainer rewrites model.kpt_shape from data['kpt_shape']).
+    """
     d = yaml_model_load(cfg)
     if nc is not None and nc != d.get("nc"):
         d["nc"] = nc
+    if kpt_shape is not None and "head" in d:
+        head = []
+        for row in d["head"]:
+            if row[2] == "Pose":
+                args = list(row[3])
+                if len(args) > 1:
+                    args[1] = list(kpt_shape)
+                else:
+                    args.append(list(kpt_shape))
+                row = [row[0], row[1], row[2], args]
+            head.append(row)
+        d["head"] = head
     specs, save, ch_list = parse_model_specs(d, ch=ch, scale=scale)
     chunkwise_kernel = resolve_chunkwise_kernel(chunkwise_kernel, training=training)
     model = DetectionModel(

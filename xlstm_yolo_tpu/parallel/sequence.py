@@ -19,6 +19,13 @@ Mechanics (inside ``shard_map`` over the sequence axis):
    ``c_initial/n_initial = inbound`` — outputs are exact, independent of
    the sharding (the recurrence is associative).
 
+Exactness caveat: bit-for-bit shard-count independence holds for f32
+inputs.  For bf16 inputs the chunkwise kernels use bf16 matmul operands
+while this state pass accumulates dC/dN from f32-upcast operands, so the
+inbound states differ from an unsharded run by bf16 rounding (~1e-3
+relative) — the f32 state pass is kept deliberately: the boundary states
+are the one quantity that compounds across shards.
+
 Local S must divide the chunk size policy as usual; any registered
 chunkwise kernel works for pass 3 (Pallas on TPU).
 """

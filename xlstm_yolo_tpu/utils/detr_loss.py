@@ -36,6 +36,13 @@ def _hungarian_host(cost: np.ndarray, valid: np.ndarray) -> np.ndarray:
     B, nq, M = cost.shape
     out = np.zeros((B, M), np.int32)
     for b in range(B):
+        # scipy assigns min(m, nq) rows: with more valid gts than queries
+        # the overflow gts would silently keep idx 0 and be scored as
+        # 'matched to query 0' (unreachable at nq=300/max_targets=128,
+        # but fail loudly rather than corrupt the loss if configs change)
+        assert int(valid[b].sum()) <= nq, (
+            f"more valid gts ({int(valid[b].sum())}) than queries ({nq})"
+        )
         c = np.nan_to_num(cost[b], nan=BIG, posinf=BIG, neginf=-BIG)
         rows, cols = linear_sum_assignment(c.T[valid[b]])  # rows into valid gts
         idx = np.zeros(M, np.int32)
@@ -103,16 +110,20 @@ def _layer_loss(pred_boxes, pred_logits, gt_boxes, gt_cls, valid, nc,
     gt_scores = jnp.einsum("bmq,bm->bq", onehot_m.astype(f32), iou_m)[..., None] * one_hot
 
     logits = pred_logits.astype(f32)
-    bce = optax_sigmoid_bce(logits, gt_scores if use_vfl else one_hot)
-    if use_vfl:
-        w = alpha_vfl(logits, gt_scores, one_hot)
-        loss_cls = (bce * w).mean(1).sum()
-    else:
-        pprob = jax.nn.sigmoid(logits)
-        p_t = one_hot * pprob + (1 - one_hot) * (1 - pprob)
-        mod = (1.0 - p_t) ** 1.5
-        af = one_hot * 0.25 + (1 - one_hot) * 0.75
-        loss_cls = (bce * mod * af).mean(1).sum()
+    # VFL only applies when the batch has gts; a gt-free batch falls back
+    # to focal loss (parity: ref:models/utils/loss.py:78 `if num_gts and
+    # self.vfl`) — both branches are computed and selected by lax.cond-
+    # style where (fixed-shape program, data-dependent choice)
+    bce_vfl = optax_sigmoid_bce(logits, gt_scores)
+    w = alpha_vfl(logits, gt_scores, one_hot)
+    loss_vfl = (bce_vfl * w).mean(1).sum()
+    bce_focal = optax_sigmoid_bce(logits, one_hot)
+    pprob = jax.nn.sigmoid(logits)
+    p_t = one_hot * pprob + (1 - one_hot) * (1 - pprob)
+    mod = (1.0 - p_t) ** 1.5
+    af = one_hot * 0.25 + (1 - one_hot) * 0.75
+    loss_focal = (bce_focal * mod * af).mean(1).sum()
+    loss_cls = jnp.where(use_vfl & (num_gts > 0), loss_vfl, loss_focal)
     loss_cls = loss_cls / (jnp.maximum(num_gts, 1) / nq)
 
     l1 = (jnp.abs(pb - gt_boxes).sum(-1) * valid).sum() / jnp.maximum(num_gts, 1)

@@ -128,6 +128,10 @@ class Instances:
         b[:, 1] = h - b[:, 3]
         b[:, 3] = h - y1
         self.convert_bbox(fmt)
+        if self.segments.size:
+            self.segments[..., 1] = h - self.segments[..., 1]
+        if self.keypoints is not None:
+            self.keypoints[..., 1] = h - self.keypoints[..., 1]
 
     def fliplr(self, w):
         fmt = self._bboxes.format
@@ -137,6 +141,10 @@ class Instances:
         b[:, 0] = w - b[:, 2]
         b[:, 2] = w - x1
         self.convert_bbox(fmt)
+        if self.segments.size:
+            self.segments[..., 0] = w - self.segments[..., 0]
+        if self.keypoints is not None:
+            self.keypoints[..., 0] = w - self.keypoints[..., 0]
 
     def clip(self, w, h):
         fmt = self._bboxes.format
@@ -175,7 +183,7 @@ class Instances:
         return cls(
             np.concatenate([i.bboxes for i in lst], axis),
             np.concatenate([i.segments for i in lst], axis) if lst[0].segments.size else lst[0].segments,
-            None,
+            np.concatenate([i.keypoints for i in lst], axis) if lst[0].keypoints is not None else None,
             fmt,
             lst[0].normalized,
         )

@@ -226,10 +226,11 @@ def v8_classification_loss(logits: jax.Array, labels: jax.Array):
     return loss, loss
 
 
-# OKS sigmas for the 17 COCO keypoints (parity: ref:utils/loss.py OKS_SIGMA)
-OKS_SIGMA = jnp.asarray(
-    [0.26, 0.25, 0.25, 0.35, 0.35, 0.79, 0.79, 0.72, 0.72, 0.62, 0.62,
-     1.07, 1.07, 0.87, 0.87, 0.89, 0.89], f32) / 10.0
+# OKS sigmas for the 17 COCO keypoints (parity: ref:utils/loss.py OKS_SIGMA;
+# shared numpy source of truth lives in utils/metrics.py)
+from xlstm_yolo_tpu.utils.metrics import OKS_SIGMA as _OKS_SIGMA_NP  # noqa: E402
+
+OKS_SIGMA = jnp.asarray(_OKS_SIGMA_NP, f32)
 
 
 def _crop_mask_loss(loss_map, xyxy):
@@ -340,8 +341,11 @@ def v8_pose_loss(
         * (assign.target_bboxes[..., 3] - assign.target_bboxes[..., 1]), 1.0
     )  # (B, A) image-unit area
 
+    # COCO sigmas only fit the 17-kpt skeleton; other K use uniform 1/K
+    # (parity: ref:models/yolo/pose/train.py sigmas selection)
+    sigmas = OKS_SIGMA if Knum == 17 else jnp.full((Knum,), 1.0 / Knum, f32)
     d = ((pred_kpts[..., 0] - gt_k[..., 0]) ** 2 + (pred_kpts[..., 1] - gt_k[..., 1]) ** 2)
-    e = d / ((2 * OKS_SIGMA[:Knum]) ** 2 * (area[..., None] + 1e-9) * 2)
+    e = d / ((2 * sigmas) ** 2 * (area[..., None] + 1e-9) * 2)
     n_vis = jnp.maximum(kpt_mask.sum(-1), 1e-9)
     factor = Knum / n_vis  # (B, A)
     loc = (factor[..., None] * (1.0 - jnp.exp(-e)) * kpt_mask).mean(-1)  # (B, A)

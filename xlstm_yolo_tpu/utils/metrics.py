@@ -119,6 +119,49 @@ def rbox_iou_matrix(obb1: np.ndarray, obb2: np.ndarray) -> np.ndarray:
     return np.asarray(out, np.float32)
 
 
+# OKS sigmas for the 17 COCO keypoints (parity: ref:utils/loss.py OKS_SIGMA)
+OKS_SIGMA = (
+    np.asarray(
+        [0.26, 0.25, 0.25, 0.35, 0.35, 0.79, 0.79, 0.72, 0.72, 0.62, 0.62,
+         1.07, 1.07, 0.87, 0.87, 0.89, 0.89], np.float32,
+    ) / 10.0
+)
+
+
+def mask_iou(mask1: np.ndarray, mask2: np.ndarray, eps: float = 1e-7) -> np.ndarray:
+    """Mask IoU matrix (N, M) from flattened binary masks.
+
+    mask1: (N, P) gt masks; mask2: (M, P) pred masks, P = Hm*Wm pixels.
+    Parity: ref:utils/metrics.py:137 (mask_iou) — intersection by
+    matmul, union from per-mask areas.
+    """
+    m1 = mask1.astype(np.float32)
+    m2 = mask2.astype(np.float32)
+    inter = np.clip(m1 @ m2.T, 0, None)
+    union = m1.sum(1)[:, None] + m2.sum(1)[None] - inter
+    return inter / (union + eps)
+
+
+def kpt_iou(kpt1: np.ndarray, kpt2: np.ndarray, area: np.ndarray,
+            sigma: np.ndarray, eps: float = 1e-7) -> np.ndarray:
+    """Object Keypoint Similarity matrix (N, M).
+
+    kpt1: (N, K, 3) gt keypoints (x, y, vis); kpt2: (M, K, 2+) preds;
+    area: (N,) gt box areas; sigma: (K,) per-keypoint scales.
+    Parity: ref:utils/metrics.py:156 (kpt_iou) — the cocoeval OKS
+    kernel, averaged over the gt-visible keypoints.
+    """
+    d = (kpt1[:, None, :, 0] - kpt2[None, :, :, 0]) ** 2 + (
+        kpt1[:, None, :, 1] - kpt2[None, :, :, 1]
+    ) ** 2  # (N, M, K)
+    sigma = np.asarray(sigma, np.float32)
+    kpt_mask = kpt1[..., 2] != 0  # (N, K)
+    e = d / ((2 * sigma) ** 2 * (area[:, None, None] + eps) * 2)
+    return (np.exp(-e) * kpt_mask[:, None]).sum(-1) / (
+        kpt_mask.sum(-1)[:, None] + eps
+    )
+
+
 def box_iou_matrix(box1: np.ndarray, box2: np.ndarray, eps: float = 1e-7) -> np.ndarray:
     """Plain IoU matrix (N, M) on host, xyxy (parity: metrics.py:52 box_iou)."""
     a1 = box1[:, None, :2]
@@ -266,6 +309,70 @@ class DetMetrics:
             "metrics/mAP50-95(B)": self.map,
             "fitness": self.fitness,
         }
+
+
+class SegmentMetrics:
+    """Box + mask AP pair (parity: ref:utils/metrics.py:896 SegmentMetrics).
+
+    Two DetMetrics tables processed from the same (conf, pred_cls,
+    target_cls) stream with separate TP tables; fitness is the sum of
+    both tasks' fitness, matching the reference.
+    """
+
+    task = "segment"
+    suffix = "M"  # results_dict column suffix for the second table
+
+    def __init__(self, names: dict | None = None):
+        self.names = names or {}
+        self.box = DetMetrics(names=self.names)
+        self.seg = DetMetrics(names=self.names)
+
+    @property
+    def _second(self):
+        return self.seg
+
+    def process(self, tp, tp_second, conf, pred_cls, target_cls):
+        self.box.process(tp, conf, pred_cls, target_cls)
+        self._second.process(tp_second, conf, pred_cls, target_cls)
+
+    def mean_results(self):
+        return self.box.mean_results() + self._second.mean_results()
+
+    @property
+    def fitness(self):
+        return self.box.fitness + self._second.fitness
+
+    @property
+    def results_dict(self):
+        s = self.suffix
+        m = self._second
+        return {
+            "metrics/precision(B)": self.box.mp,
+            "metrics/recall(B)": self.box.mr,
+            "metrics/mAP50(B)": self.box.map50,
+            "metrics/mAP50-95(B)": self.box.map,
+            f"metrics/precision({s})": m.mp,
+            f"metrics/recall({s})": m.mr,
+            f"metrics/mAP50({s})": m.map50,
+            f"metrics/mAP50-95({s})": m.map,
+            "fitness": self.fitness,
+        }
+
+
+class PoseMetrics(SegmentMetrics):
+    """Box + OKS-pose AP pair (parity: ref:utils/metrics.py:1034)."""
+
+    task = "pose"
+    suffix = "P"
+
+    def __init__(self, names: dict | None = None):
+        self.names = names or {}
+        self.box = DetMetrics(names=self.names)
+        self.pose = DetMetrics(names=self.names)
+
+    @property
+    def _second(self):
+        return self.pose
 
 
 class ConfusionMatrix:

@@ -96,6 +96,73 @@ def scale_boxes(img1_shape, boxes, img0_shape, ratio_pad=None, padding=True):
     return clip_boxes(boxes, img0_shape)
 
 
+def scale_coords(img1_shape, coords, img0_shape, ratio_pad=None, padding=True):
+    """Rescale (..., 2+) point coordinates from letterboxed img1 back to
+    original img0 (parity: ref:utils/ops.py scale_coords — keypoints).
+
+    Only the leading two channels (x, y) are transformed; extra
+    channels (visibility) pass through untouched.
+    """
+    if ratio_pad is None:
+        gain = min(img1_shape[0] / img0_shape[0], img1_shape[1] / img0_shape[1])
+        pad = (
+            round((img1_shape[1] - img0_shape[1] * gain) / 2 - 0.1),
+            round((img1_shape[0] - img0_shape[0] * gain) / 2 - 0.1),
+        )
+    else:
+        gain, pad = ratio_pad[0][0], ratio_pad[1]
+    xp = _xp(coords)
+    x = coords[..., 0]
+    y = coords[..., 1]
+    if padding:
+        x = x - pad[0]
+        y = y - pad[1]
+    x = xp.clip(x / gain, 0, img0_shape[1])
+    y = xp.clip(y / gain, 0, img0_shape[0])
+    return xp.concatenate([xp.stack([x, y], axis=-1), coords[..., 2:]], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# masks
+# ---------------------------------------------------------------------------
+
+
+def crop_mask(masks, boxes):
+    """Zero masks outside their (mask-space) xyxy boxes.
+
+    masks: (n, Hm, Wm); boxes: (n, 4).  Parity: ref:utils/ops.py:659
+    (crop_mask) — coordinate-grid comparison, fixed shapes, np/jnp.
+    """
+    xp = _xp(masks)
+    Hm, Wm = masks.shape[-2:]
+    r = xp.arange(Wm, dtype=masks.dtype)[None, None, :]
+    c = xp.arange(Hm, dtype=masks.dtype)[None, :, None]
+    x1, y1, x2, y2 = (boxes[:, i, None, None] for i in range(4))
+    return masks * ((r >= x1) & (r < x2) & (c >= y1) & (c < y2))
+
+
+def process_mask(proto, coeffs, boxes, img_hw):
+    """Assemble binary instance masks from prototypes + coefficients.
+
+    proto: (Hm, Wm, nm) NHWC prototype maps; coeffs: (n, nm) per-
+    detection coefficients; boxes: (n, 4) xyxy in model-input pixels;
+    img_hw: model input (h, w).  Returns (n, Hm, Wm) bool masks at
+    prototype resolution, cropped to the boxes.
+
+    Parity: ref:utils/ops.py:679 (process_mask) — mask logits by
+    matmul, crop to the down-scaled boxes, threshold at logit 0.
+    Fixed shapes throughout (n is static), so it runs under jit on
+    device or on host numpy alike.
+    """
+    xp = _xp(proto)
+    Hm, Wm, nm = proto.shape
+    ih, iw = img_hw
+    logits = (coeffs.astype(proto.dtype) @ proto.reshape(-1, nm).T).reshape(-1, Hm, Wm)
+    scale = xp.asarray([Wm / iw, Hm / ih, Wm / iw, Hm / ih], dtype=logits.dtype)
+    masks = crop_mask(logits, boxes.astype(logits.dtype) * scale)
+    return masks > 0.0
+
+
 # ---------------------------------------------------------------------------
 # NMS
 # ---------------------------------------------------------------------------
@@ -189,10 +256,16 @@ def non_max_suppression_rotated(
         return nms_rotated_jax(r, s, iou_thres, max_det)
 
     idx, ok = jax.vmap(per_image)(rb, masked)
-    take = lambda arr: jnp.take_along_axis(arr, jnp.clip(idx, 0, None)[..., None], axis=1)
-    out = jnp.concatenate(
-        [take(rb), take(conf[..., None]), take(cls[..., None])], axis=-1
-    )
+    # gather-free row selection (one-hot matmul): jitted into the same
+    # program as a Pallas-kernel backbone, take_along_axis gathers
+    # recreate the documented Pallas+gather runtime fault mode
+    # (docs/KNOWN_ISSUES.md) that Detect's matmul postprocess avoids.
+    # The remaining per-step dynamic index inside nms_rotated_jax's
+    # fori_loop touches only (A, 5)-sized operands and has not faulted.
+    A = rb.shape[1]
+    onehot = (jnp.clip(idx, 0, None)[..., None] == jnp.arange(A)[None, None]).astype(rb.dtype)
+    cat = jnp.concatenate([rb, conf[..., None], cls[..., None]], axis=-1)
+    out = jnp.einsum("bka,bac->bkc", onehot, cat)
     return out, ok
 
 
