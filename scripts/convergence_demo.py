@@ -1,0 +1,127 @@
+"""Training-improves-mAP artifact (VERDICT r2 item 7; SURVEY §7 step 7).
+
+Trains the tiny 160px ViL-YOLO detector on a synthetic 64-image dataset
+(colored rectangles, 2 classes) for N epochs on CPU, validating every
+epoch, and writes:
+- runs/detect/convergence/results.csv        (epoch losses + mAP columns)
+- docs/CONVERGENCE.md                        (table + verdict)
+
+Pass --epochs to override (default 12).  The exit criterion is
+final-epoch fitness > first-epoch fitness and mAP50 > 0.5.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import random
+import shutil
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import cv2  # noqa: E402
+import yaml  # noqa: E402
+
+
+def write_dataset(root: Path, n_train=64, n_val=16, size=160):
+    rng = random.Random(0)
+    for split, n in (("train", n_train), ("val", n_val)):
+        (root / "images" / split).mkdir(parents=True, exist_ok=True)
+        (root / "labels" / split).mkdir(parents=True, exist_ok=True)
+        for i in range(n):
+            img = np.full((size, size, 3), 90, np.uint8)
+            noise = np.random.default_rng(i).integers(0, 30, (size, size, 3), np.uint8)
+            img = cv2.add(img, noise)
+            lines = []
+            for _ in range(rng.randint(1, 3)):
+                w, h = rng.randint(24, 64), rng.randint(24, 64)
+                x, y = rng.randint(0, size - 1 - w), rng.randint(0, size - 1 - h)
+                c = rng.randint(0, 1)
+                color = (0, 0, 220) if c == 0 else (220, 0, 0)
+                cv2.rectangle(img, (x, y), (x + w, y + h), color, -1)
+                lines.append(
+                    f"{c} {(x + w / 2) / size:.4f} {(y + h / 2) / size:.4f} "
+                    f"{w / size:.4f} {h / size:.4f}"
+                )
+            cv2.imwrite(str(root / "images" / split / f"{i:03d}.jpg"), img)
+            (root / "labels" / split / f"{i:03d}.txt").write_text("\n".join(lines))
+    data_yaml = root / "data.yaml"
+    data_yaml.write_text(yaml.safe_dump({
+        "path": str(root), "train": "images/train", "val": "images/val",
+        "names": {0: "red", 1: "blue"}, "nc": 2,
+    }))
+    return data_yaml
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=12)
+    args = ap.parse_args()
+
+    from xlstm_yolo_tpu.engine.trainer import DetectionTrainer
+
+    ds_root = Path("/tmp/convergence_ds")
+    if ds_root.exists():
+        shutil.rmtree(ds_root)
+    data_yaml = write_dataset(ds_root)
+
+    run_dir = REPO / "runs" / "detect" / "convergence"
+    if run_dir.exists():
+        shutil.rmtree(run_dir)
+
+    tr = DetectionTrainer(overrides={
+        "model": str(REPO / "xlstm_yolo_tpu/cfg/models/vil-det-tiny.yaml"),
+        "data": str(data_yaml),
+        "imgsz": 160, "epochs": args.epochs, "batch": 8, "workers": 4,
+        "max_targets": 16, "optimizer": "SGD", "lr0": 0.02, "lrf": 0.1,
+        "amp": False, "project": str(REPO / "runs" / "detect"),
+        "name": "convergence", "exist_ok": True,
+        "mosaic": 0.5, "fliplr": 0.5, "scale": 0.3, "translate": 0.1,
+        "val": True, "plots": False, "patience": 100, "close_mosaic": 3,
+    }, model_cfg=str(REPO / "xlstm_yolo_tpu/cfg/models/vil-det-tiny.yaml"))
+    tr.train()
+
+    rows = list(csv.DictReader(open(tr.csv_path)))
+    first = next((r for r in rows if r.get("metrics/mAP50-95(B)")), rows[0])
+    last = rows[-1]
+    f0 = float(first.get("fitness") or 0)
+    f1 = float(last.get("fitness") or 0)
+    map50 = float(last.get("metrics/mAP50(B)") or 0)
+
+    lines = [
+        "# Training convergence artifact (SURVEY §7 step 7)",
+        "",
+        f"Tiny 160px ViL-YOLO, synthetic 64-image detect set, {args.epochs} epochs,",
+        "SGD lr0=0.02, mosaic 0.5 (closed for the last 3), CPU run via",
+        "`python scripts/convergence_demo.py`. Full per-epoch log:",
+        f"`runs/detect/convergence/results.csv` (committed).",
+        "",
+        "| epoch | loss | mAP50 | mAP50-95 | fitness |",
+        "|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['epoch']} | {float(r.get('loss') or 0):.3f} "
+            f"| {float(r.get('metrics/mAP50(B)') or 0):.4f} "
+            f"| {float(r.get('metrics/mAP50-95(B)') or 0):.4f} "
+            f"| {float(r.get('fitness') or 0):.4f} |"
+        )
+    verdict = ("PASS" if (f1 > f0 and map50 > 0.5) else "FAIL")
+    lines += ["", f"**Exit criterion** (final fitness > first epoch fitness and "
+                  f"mAP50 > 0.5): **{verdict}** "
+                  f"(fitness {f0:.4f} -> {f1:.4f}, final mAP50 {map50:.4f})"]
+    (REPO / "docs" / "CONVERGENCE.md").write_text("\n".join(lines) + "\n")
+    print("\n".join(lines[-3:]))
+
+
+if __name__ == "__main__":
+    main()

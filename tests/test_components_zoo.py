@@ -199,6 +199,36 @@ def test_solutions_suite():
     assert dict(a.totals()) == {0: 1, 1: 1}
 
 
+def test_object_counter_line_and_region():
+    """Directed line crossings + polygon entries on synthetic trajectories
+    (parity: ref:solutions/object_counter.py count semantics)."""
+    from xlstm_yolo_tpu.solutions import ObjectCounter
+
+    def track_row(tid, cx, cy, cls=0):
+        return np.array([[cx - 5, cy - 5, cx + 5, cy + 5, tid, 0.9, cls]], np.float32)
+
+    # vertical line at x=50: track 1 crosses left->right, track 2 right->left
+    oc = ObjectCounter(line=[(50, 0), (50, 100)], names={0: "car", 1: "bus"})
+    for x in (20, 40, 60, 80):
+        oc.update(track_row(1, x, 30, cls=0))
+    for x in (80, 60, 40, 20):
+        oc.update(track_row(2, x, 70, cls=1))
+    assert (oc.in_count, oc.out_count) == (1, 1)
+    assert oc.classwise_counts["car"]["IN"] + oc.classwise_counts["car"]["OUT"] == 1
+    assert oc.classwise_counts["bus"]["IN"] + oc.classwise_counts["bus"]["OUT"] == 1
+    im = oc.annotate(np.zeros((120, 120, 3), np.uint8))
+    assert im.any()  # region + banner drawn
+
+    # polygon region: a track entering the box counts once as IN
+    oc2 = ObjectCounter(region=[(40, 40), (80, 40), (80, 80), (40, 80)])
+    for x in (10, 30, 60):
+        oc2.update(track_row(3, x, 60))
+    assert oc2.in_count == 1 and oc2.out_count == 0
+    # leaving again does not double-count the same track
+    oc2.update(track_row(3, 90, 60))
+    assert oc2.in_count + oc2.out_count == 1
+
+
 def test_probiou_golden_vs_reference():
     """probiou matches the torch reference on random rotated boxes."""
     import sys

@@ -96,6 +96,10 @@ def test_train_val_predict_roundtrip(synth_dataset, tmp_path):
     assert (tr.wdir / "last").exists()
     assert tr.csv_path.exists()
     assert "fitness" in metrics
+    # final_eval ran and the deploy-stripped checkpoints were written
+    # (ref:engine/trainer.py:684, utils/torch_utils.py:553)
+    assert (tr.wdir / "best_stripped").exists()
+    assert (tr.wdir / "last_stripped").exists()
 
     # resume-style checkpoint restore
     from xlstm_yolo_tpu.utils.checkpoint import load_checkpoint

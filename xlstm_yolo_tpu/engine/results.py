@@ -195,6 +195,14 @@ class OBB:
         return np.concatenate([c.min(1), c.max(1)], -1)
 
 
+# COCO-pose skeleton edges (parity: ref:utils/plotting.py Annotator.skeleton)
+_SKELETON17 = [
+    (15, 13), (13, 11), (16, 14), (14, 12), (11, 12), (5, 11), (6, 12),
+    (5, 6), (5, 7), (6, 8), (7, 9), (8, 10), (1, 2), (0, 1), (0, 2),
+    (1, 3), (2, 4), (3, 5), (4, 6),
+]
+
+
 @dataclass
 class Results:
     """One image's predictions (parity: results.py:187-1000)."""
@@ -237,12 +245,28 @@ class Results:
         return self
 
     def plot(self, line_width: int | None = None, font_scale: float = 0.5,
-             conf: bool = True, labels: bool = True, img: np.ndarray | None = None):
-        """Draw boxes on a BGR copy of the original image."""
+             conf: bool = True, labels: bool = True, img: np.ndarray | None = None,
+             masks: bool = True, kpt_radius: int = 3):
+        """Render boxes + mask overlays + keypoint skeletons on a BGR copy
+        (parity: ref:engine/results.py Results.plot via Annotator — box
+        labels, per-instance mask alpha-fill, kpt dots + skeleton)."""
         import cv2
 
         im = (img if img is not None else self.orig_img).copy()
         lw = line_width or max(round(sum(im.shape[:2]) / 2 * 0.003), 2)
+
+        if masks and self.masks is not None and len(self.masks):
+            overlay = im.copy()
+            for j, m in enumerate(np.asarray(self.masks.data)):
+                c = (int(self.boxes.data[j][-1])
+                     if self.boxes is not None and j < len(self.boxes) else j)
+                mm = m.astype(bool)
+                if mm.shape != im.shape[:2]:
+                    mm = cv2.resize(m.astype(np.uint8), im.shape[:2][::-1],
+                                    interpolation=cv2.INTER_NEAREST).astype(bool)
+                overlay[mm] = _color(c)
+            im = cv2.addWeighted(im, 0.6, overlay, 0.4, 0)
+
         if self.boxes is not None:
             for row in self.boxes.data:
                 x1, y1, x2, y2 = row[:4].astype(int)
@@ -254,6 +278,33 @@ class Results:
                     txt = f"{name} {row[-2]:.2f}" if conf else name
                     cv2.putText(im, txt, (x1, max(y1 - 4, 12)),
                                 cv2.FONT_HERSHEY_SIMPLEX, font_scale, col, max(lw - 1, 1))
+
+        if self.obb is not None:
+            for row in np.asarray(self.obb.data):
+                # numpy corner math (host-side plot must not touch devices)
+                cx, cy, w, h, ang = row[:5]
+                cos, sin = np.cos(ang), np.sin(ang)
+                v1 = np.array([w / 2 * cos, w / 2 * sin])
+                v2 = np.array([-h / 2 * sin, h / 2 * cos])
+                ctr = np.array([cx, cy])
+                pts = np.stack([ctr + v1 + v2, ctr + v1 - v2,
+                                ctr - v1 - v2, ctr - v1 + v2]).astype(np.int32)
+                cv2.polylines(im, [pts], True, _color(int(row[-1])), lw)
+
+        if self.keypoints is not None and len(self.keypoints):
+            for k in np.asarray(self.keypoints.data):
+                K = k.shape[0]
+                vis = k[:, 2] if k.shape[1] > 2 else np.ones(K)
+                for j in range(K):
+                    if vis[j] > 0.25:
+                        cv2.circle(im, (int(k[j, 0]), int(k[j, 1])), kpt_radius,
+                                   _color(j), -1)
+                if K == 17:  # COCO skeleton
+                    for a, b in _SKELETON17:
+                        if vis[a] > 0.25 and vis[b] > 0.25:
+                            cv2.line(im, (int(k[a, 0]), int(k[a, 1])),
+                                     (int(k[b, 0]), int(k[b, 1])),
+                                     _color(a), max(lw - 1, 1))
         return im
 
     def save(self, filename: str | Path):

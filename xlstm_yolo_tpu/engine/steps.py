@@ -51,6 +51,7 @@ def make_train_step(
     accumulate: int = 1,
     task: str = "detect",
     kpt_shape: tuple[int, int] | None = None,
+    imgsz_out: int | None = None,
 ) -> Callable:
     """Build train_step(state, batch, rng) -> (state, metrics).
 
@@ -69,6 +70,25 @@ def make_train_step(
             # normalize on-device: the host ships 1/4 the bytes
             img = img.astype(f32) / 255.0
         ih = batch["img"].shape[1]
+        if imgsz_out and imgsz_out != ih:
+            # multi-scale bucket: resize the batch + scale the geometry
+            # on device (ref:models/yolo/detect/train.py:60 multi_scale,
+            # redesigned as a static shape-bucket set — one compiled
+            # program per bucket instead of free per-batch sizes)
+            sf = imgsz_out / ih
+            B = img.shape[0]
+            img = jax.image.resize(
+                img, (B, imgsz_out, imgsz_out, img.shape[-1]), "bilinear")
+            batch = dict(batch)
+            batch["bboxes"] = batch["bboxes"] * sf
+            if "kpts" in batch:
+                k = jnp.asarray(batch["kpts"], f32)
+                batch["kpts"] = jnp.concatenate([k[..., :2] * sf, k[..., 2:]], -1)
+            if "rboxes" in batch:
+                rb = batch["rboxes"].astype(f32)
+                batch["rboxes"] = jnp.concatenate(
+                    [rb[..., :4] * sf, rb[..., 4:]], -1)
+            ih = imgsz_out
         apply_kw, rngs = {}, {"droppath": rng}
         if is_rtdetr:
             # padded gt triple for the CDN denoising group (normalized cxcywh)

@@ -206,16 +206,32 @@ class DetectionTrainer:
         # grad accumulation: collect `accumulate` loader batches and scan
         # over them as microbatches inside one optimizer step (the nbs
         # semantics of trainer.py:304,372)
+        kpt_for_step = (tuple(data.get("kpt_shape") or (17, 3))
+                        if task == "pose" else None)
         train_step = make_train_step(model_t, tx, nc=nc, accumulate=accumulate,
-                                     task=str(getattr(args, "task", "detect") or "detect"),
-                                     kpt_shape=tuple(data.get("kpt_shape") or (17, 3))
-                                     if task == "pose" else None)
+                                     task=task, kpt_shape=kpt_for_step)
         # buffer donation would halve peak HBM, but both available
         # runtimes currently reject it: the XLA CPU backend deadlocks its
         # collective rendezvous with donated multi-device buffers, and
         # the remote TPU runtime raises INVALID_ARGUMENT on the donated
         # step (docs/KNOWN_ISSUES.md) — so no donation for now.
         step_jit = jax.jit(train_step)
+        # multi-scale: a static bucket set {0.8, 1.0, 1.2} x imgsz (stride-
+        # 32 aligned) pre-compiles one step per bucket — the TPU-first
+        # form of ref:models/yolo/detect/train.py:60's free per-batch
+        # resize (3 compiles instead of one per size; batch resize +
+        # geometry scaling happen on device inside the step)
+        ms_steps: dict[int, object] = {}
+        if getattr(args, "multi_scale", False) and task != "classify":
+            buckets = sorted({max(32, round(imgsz * s / 32) * 32)
+                              for s in (0.8, 1.0, 1.2)})
+            ms_steps = {
+                b: (step_jit if b == imgsz else jax.jit(make_train_step(
+                    model_t, tx, nc=nc, accumulate=accumulate, task=task,
+                    kpt_shape=kpt_for_step, imgsz_out=b)))
+                for b in buckets
+            }
+            print(f"multi-scale buckets: {buckets}")
 
         if task == "classify":
             from xlstm_yolo_tpu.models.yolo.classify.val import ClassificationValidator
@@ -240,6 +256,26 @@ class DetectionTrainer:
         (self.save_dir / "args.yaml").write_text(
             "\n".join(f"{k}: {v}" for k, v in vars(args).items())
         )
+
+        if getattr(args, "plots", True) and task != "classify":
+            # labeled train-sample mosaic with mask/kpt overlays
+            # (parity: ref:engine/trainer.py plot_training_samples)
+            try:
+                import random as _r
+
+                from xlstm_yolo_tpu.utils.plotting import plot_images
+
+                rr = _r.Random(0)
+                samples = [trainset.get_sample(i % len(trainset), rr)
+                           for i in range(min(9, max(batch, 4)))]
+                b0 = trainset.collate(samples)
+                self.save_dir.mkdir(parents=True, exist_ok=True)
+                plot_images(b0["img"], b0["cls"], b0["bboxes"], b0["mask"],
+                            names=data.get("names"),
+                            fname=self.save_dir / "train_batch0.jpg",
+                            masks=b0.get("masks"), kpts=b0.get("kpts"))
+            except Exception as e:
+                print(f"train-sample plot failed: {e}")
 
         print(
             f"train: {len(trainset)} imgs, batch {batch} x{n_data} devices, "
@@ -286,9 +322,15 @@ class DetectionTrainer:
             # assembled + transferred on a background thread while the
             # current step runs (the reference overlaps via DataLoader
             # workers + pin_memory, ref:data/build.py:139)
+            import random as _pyrandom
+
+            ms_rng = _pyrandom.Random(int(args.seed) * 1000 + epoch)
+            ms_keys = list(ms_steps)
             for bi, dev_batch in enumerate(_prefetch(epoch_batches())):
                 step_rng, sub = jax.random.split(step_rng)
-                state, metrics = step_jit(state, dev_batch, sub)
+                step_fn = (ms_steps[ms_rng.choice(ms_keys)]
+                           if ms_keys else step_jit)
+                state, metrics = step_fn(state, dev_batch, sub)
                 losses.append(metrics)
                 self.callbacks.run("on_train_batch_end", self)
 
@@ -332,6 +374,33 @@ class DetectionTrainer:
             if args.time and (time.time() - t_start) / 3600 > float(args.time):
                 print("time budget reached")
                 break
+
+        # final eval on best weights + deploy-stripped checkpoints
+        # (parity: ref:engine/trainer.py:684 final_eval +
+        # utils/torch_utils.py:553 strip_optimizer)
+        if args.save and args.val and (self.wdir / "best").exists():
+            from xlstm_yolo_tpu.utils.checkpoint import strip_optimizer
+
+            best_state, _, _ = load_checkpoint(self.wdir / "best", state)
+            bundle = {
+                "model": model_e,
+                "variables": {"params": best_state.ema.params,
+                              "batch_stats": best_state.batch_stats},
+            }
+            print("validating best weights:")
+            self.metrics = validator(bundle, batch_size=batch, verbose=True)
+            for p in ("last", "best"):
+                if (self.wdir / p).exists():
+                    strip_optimizer(self.wdir / p)
+
+        if getattr(args, "plots", True) and self.csv_path.exists():
+            # training curves (parity: ref plot_metrics/plot_results)
+            try:
+                from xlstm_yolo_tpu.utils.plotting import plot_results
+
+                plot_results(self.csv_path)
+            except Exception as e:
+                print(f"results plot failed: {e}")
 
         self.callbacks.run("on_train_end", self)
         self.state = state

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from xlstm_yolo_tpu.nn.layers import (
+    resolve_seqlens,
     RMSNorm,
     SequenceConv2d,
     ViLBlockPair,
@@ -203,8 +204,7 @@ class SequenceToImage(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, S, D = x.shape
-        h, w = self.seqlens
-        assert S == h * w, f"S={S} != {h}*{w}"
+        h, w = resolve_seqlens(S, self.seqlens)
         return x.reshape(B, h, w, D)
 
 
@@ -218,6 +218,12 @@ class PatchMerger(nn.Module):
 
     dim: int
     num_tokens_out: int
+    # base input token count (set by the parser): with multi-scale
+    # inputs (N != base) the learned query set is treated as its
+    # sqrt(M) x sqrt(M) grid and bicubic-resized so the pooling ratio —
+    # and hence every downstream FPN grid — scales with the input
+    # (the pos-embed interpolation idea applied to the queries)
+    base_tokens_in: int | None = None
 
     @nn.compact
     def __call__(self, x):  # (B, N, D) -> (B, M, D)
@@ -228,6 +234,19 @@ class PatchMerger(nn.Module):
             "queries", nn.initializers.normal(stddev=1.0),
             (self.num_tokens_out, self.dim), f32,
         )
+        N = x.shape[1]
+        if self.base_tokens_in and N != self.base_tokens_in:
+            r2 = N / self.base_tokens_in
+            m_new = int(round(self.num_tokens_out * r2))
+            g0 = int(round(math.sqrt(self.num_tokens_out)))
+            g1 = int(round(math.sqrt(m_new)))
+            assert g0 * g0 == self.num_tokens_out and g1 * g1 == m_new, (
+                f"PatchMerger multi-scale needs square query grids: "
+                f"M={self.num_tokens_out}, scaled M'={m_new}"
+            )
+            queries = jax.image.resize(
+                queries.reshape(g0, g0, self.dim), (g1, g1, self.dim), "bicubic"
+            ).reshape(m_new, self.dim)
         sim = jnp.einsum(
             "md,bnd->bmn", queries.astype(xn.dtype), xn, preferred_element_type=f32
         ) * (self.dim**-0.5)
@@ -791,8 +810,7 @@ class PermuteBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, S, D = x.shape
-        h, w = self.seqlens
-        assert S == h * w, f"S={S} != {h}*{w}"
+        h, w = resolve_seqlens(S, self.seqlens)
         return x.reshape(B, h, w, D)
 
 
@@ -810,8 +828,8 @@ class FlattenPosEmbedBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, S, D = x.shape
-        h, w = self.seqlens
-        assert S == h * w and len(self.seqlens) == 2
+        assert len(self.seqlens) == 2
+        h, w = resolve_seqlens(S, self.seqlens)
         y = VitPosEmbed2d(seqlens=(h, w), dim=self.dim, name="module")(
             x.reshape(B, h, w, D)
         )
@@ -840,7 +858,7 @@ class SequenceConv2dBlock(nn.Module):
             assert h * h == S, f"S={S} is not square; pass seqlens"
             w = h
         else:
-            h, w = self.seqlens
+            h, w = resolve_seqlens(S, self.seqlens)
         pad = self.k // 2 if self.s > 1 else 0
         y = nn.Conv(
             self.c2, (self.k, self.k), strides=(self.s, self.s),

@@ -24,6 +24,28 @@ from flax import linen as nn
 
 from xlstm_yolo_tpu.ops import backend as ops_backend
 
+
+def resolve_seqlens(S: int, seqlens) -> tuple[int, int]:
+    """Actual (h, w) token grid for a length-S sequence given the block's
+    declared base grid.
+
+    Multi-scale training feeds the same model bucketed input sizes
+    (ref:models/yolo/detect/train.py:60 multi_scale); the declared YAML
+    seqlens describe the base resolution and rescale proportionally.
+    S and seqlens are trace-time ints, so this is free under jit and
+    each bucket compiles its own fixed-shape program.
+    """
+    h0, w0 = seqlens
+    if h0 * w0 == S:
+        return int(h0), int(w0)
+    r = math.sqrt(S / (h0 * w0))
+    h, w = int(round(h0 * r)), int(round(w0 * r))
+    assert h * w == S, (
+        f"sequence length {S} incompatible with base grid {h0}x{w0} "
+        f"(multi-scale buckets must rescale the grid integrally)"
+    )
+    return h, w
+
 f32 = jnp.float32
 
 FORWARD = "rowwise_from_top_left"
@@ -189,7 +211,7 @@ class SequenceConv2d(nn.Module):
             assert h * h == S, f"S={S} is not square; pass seqlens"
             w = h
         else:
-            h, w = self.seqlens
+            h, w = resolve_seqlens(S, self.seqlens)
         out_dim = self.out_dim or self.dim
         groups = self.groups if self.groups is not None else self.dim
         xi = x.reshape(B, h, w, D)

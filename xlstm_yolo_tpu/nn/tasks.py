@@ -93,6 +93,7 @@ def parse_model_specs(d: dict, ch: int = 3, scale: str | None = None):
         depth, width, max_channels = scales[scale]
 
     ch_list = [ch]
+    tok_list: list[int | None] = [None]  # token-grid size per layer
     specs, save = [], []
     layers = list(d["backbone"]) + list(d["head"])
     for i, (f, n, m, args) in enumerate(layers):
@@ -166,13 +167,33 @@ def parse_model_specs(d: dict, ch: int = 3, scale: str | None = None):
         else:
             raise ValueError(f"unsupported module '{m}' in model yaml (layer {i})")
 
+        # token-grid bookkeeping: PatchMerger pools to a fixed learned-
+        # query count, so multi-scale needs its *base* input token count
+        # to rescale the query grid proportionally (see B.PatchMerger)
+        tin = tok_list[f] if isinstance(f, int) else None
+        if name == "VitPatchEmbedBlock" and len(args) > 3:
+            res, patch = args[2], args[3]
+            tok = (res[0] // patch[0]) * (res[1] // patch[1])
+        elif name == "VitPosEmbedBlock" and len(args) > 2:
+            tok = args[2][0] * args[2][1]
+        elif name in {"ViLBlockPairBlock", "ViLFusionBlock"} and isinstance(args[-1], dict):
+            sl = args[-1].get("seqlens")
+            tok = sl[0] * sl[1] if sl else tin
+        elif name == "PatchMerger":
+            kwargs["base_tokens_in"] = tin
+            tok = args[1]
+        else:
+            tok = tin
+
         specs.append(
             dict(i=i, f=f, n=n_rep, module=name, args=args, kwargs=kwargs, c1=c1, c2=c2)
         )
         save.extend(x % i for x in ([f] if isinstance(f, int) else f) if x != -1)
         if i == 0:
             ch_list = []
+            tok_list = []
         ch_list.append(c2 if c2 is not None else (c1 or ch))
+        tok_list.append(tok)
     return specs, sorted(set(save)), ch_list
 
 
@@ -217,7 +238,8 @@ def build_module(spec: dict, nc: int, training: bool, chunkwise_kernel: str,
                                 name=mname)
     if name == "PatchMerger":
         dim, m_out = args
-        return B.PatchMerger(dim=dim, num_tokens_out=m_out, name=mname)
+        return B.PatchMerger(dim=dim, num_tokens_out=m_out,
+                             base_tokens_in=kw.get("base_tokens_in"), name=mname)
     if name == "SequenceToImage":
         (seqlens,) = args
         return B.SequenceToImage(seqlens=tuple(seqlens), name=mname)

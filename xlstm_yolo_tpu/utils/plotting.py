@@ -18,12 +18,16 @@ def plot_images(
     images: np.ndarray,  # (B, H, W, 3) uint8 RGB
     cls: np.ndarray,  # (B, M)
     bboxes: np.ndarray,  # (B, M, 4) xyxy px
-    mask: np.ndarray,  # (B, M)
+    mask: np.ndarray,  # (B, M) instance validity
     names: dict | None = None,
     fname: str | Path = "batch.jpg",
     max_subplots: int = 16,
+    masks: np.ndarray | None = None,  # (B, M, Hm, Wm) binary, image/4 scale
+    kpts: np.ndarray | None = None,  # (B, M, K, 3) px
 ):
-    """Tile a batch with its boxes into one annotated mosaic image."""
+    """Tile a batch with boxes (+ mask/keypoint overlays) into one
+    annotated mosaic (parity: ref:utils/plotting.py plot_images — the
+    labeled train-sample mosaics saved at train start)."""
     bs = min(len(images), max_subplots)
     n = int(np.ceil(bs**0.5))
     h, w = images.shape[1:3]
@@ -31,6 +35,15 @@ def plot_images(
     for i in range(bs):
         r, c = divmod(i, n)
         im = images[i][..., ::-1].copy()  # RGB -> BGR for cv2
+        if masks is not None:
+            overlay = im.copy()
+            for j in range(masks.shape[1]):
+                if not mask[i, j]:
+                    continue
+                m = cv2.resize(masks[i, j].astype(np.uint8), (w, h),
+                               interpolation=cv2.INTER_NEAREST).astype(bool)
+                overlay[m] = _color(int(cls[i, j]))
+            im = cv2.addWeighted(im, 0.6, overlay, 0.4, 0)
         for j in range(bboxes.shape[1]):
             if not mask[i, j]:
                 continue
@@ -40,6 +53,10 @@ def plot_images(
             label = (names or {}).get(cid, str(cid))
             cv2.putText(im, label, (x1, max(y1 - 3, 10)), cv2.FONT_HERSHEY_SIMPLEX,
                         0.4, _color(cid), 1)
+            if kpts is not None:
+                for kk, pt in enumerate(kpts[i, j]):
+                    if pt.shape[-1] < 3 or pt[2] > 0:
+                        cv2.circle(im, (int(pt[0]), int(pt[1])), 2, _color(kk), -1)
         grid[r * h : (r + 1) * h, c * w : (c + 1) * w] = im
     cv2.imwrite(str(fname), grid)
     return fname
