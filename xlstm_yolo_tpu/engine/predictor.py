@@ -45,6 +45,20 @@ class BasePredictor:
     # -- device program ----------------------------------------------------
     def _forward(self, variables, img_u8):
         x = img_u8.astype(jnp.float32) / 255.0
+        if getattr(self.args, "augment", False):
+            from xlstm_yolo_tpu.nn.tasks import predict_augment
+
+            y, _aux = predict_augment(self.model, variables, x)
+            if y.shape[-1] != 6:  # anchor-level (B, A, 4+nc): fixed-shape NMS
+                out, ok = ops.non_max_suppression(
+                    y,
+                    conf_thres=self.args.conf if self.args.conf is not None else 0.25,
+                    iou_thres=getattr(self.args, "iou", 0.7) or 0.7,
+                    max_det=int(getattr(self.args, "max_det", 300) or 300),
+                    nc=y.shape[-1] - 4,
+                )
+                y = jnp.where(ok[..., None], out, 0.0)
+            return y
         y, _aux = self.model.apply(variables, x)
         return y  # (B, max_det, 6) xyxy(model scale), conf, cls
 

@@ -441,6 +441,7 @@ class DetectionModel(nn.Module):
     decode_only: bool = False
     fused: bool = False  # eval-only: convs carry folded-BN biases
     sort_postprocess: bool | None = None  # None = auto (Pallas kernels)
+    return_saved: bool = False  # also return every savelist intermediate
 
     def setup(self):
         self.layers = [
@@ -472,7 +473,84 @@ class DetectionModel(nn.Module):
                 out = layer(inp)
             if spec["i"] in self.save:
                 saved[spec["i"]] = out
+        if self.return_saved:
+            return out, saved
         return out
+
+
+def scale_img(x, ratio: float, gs: int = 32, pad_value: float = 0.447):
+    """Bilinear-resize an NHWC batch by ``ratio`` and pad to a ``gs``
+    multiple (parity: ref:ultralytics/utils/torch_utils.py scale_img).
+
+    Static-shape: the output size is a Python-level function of the
+    input shape and ratio, so each ratio is its own compiled program —
+    the TPU analogue of the reference's dynamic resize.
+    """
+    if ratio == 1.0:
+        return x
+    B_, h, w, c = x.shape
+    sh, sw = int(h * ratio), int(w * ratio)
+    y = jax.image.resize(x, (B_, sh, sw, c), method="bilinear")
+    ph = math.ceil(h * ratio / gs) * gs
+    pw = math.ceil(w * ratio / gs) * gs
+    return jnp.pad(
+        y, ((0, 0), (0, ph - sh), (0, pw - sw), (0, 0)),
+        constant_values=jnp.asarray(pad_value, x.dtype),
+    )
+
+
+def descale_pred(p, flip: int | None, scale: float, img_hw: tuple[int, int]):
+    """Undo TTA scale/flip on decoded preds (B, A, 4+nc) xywh-pixel.
+
+    Parity: ref:ultralytics/nn/tasks.py:393-402 (_descale_pred) with the
+    anchor axis second and boxes in xywh order.
+    """
+    xy, wh, rest = p[..., :2], p[..., 2:4], p[..., 4:]
+    xy = xy / scale
+    wh = wh / scale
+    if flip == 2:  # ud
+        xy = jnp.stack([xy[..., 0], img_hw[0] - xy[..., 1]], -1)
+    elif flip == 3:  # lr
+        xy = jnp.stack([img_hw[1] - xy[..., 0], xy[..., 1]], -1)
+    return jnp.concatenate([xy, wh, rest], -1)
+
+
+def clip_augmented(ys: list):
+    """Drop unreliable scale tails (parity: ref:nn/tasks.py:404-413).
+
+    Anchors concatenate P3->P5, so the largest-scale pass drops its P5
+    (last A//21) anchors and the smallest-scale pass drops its P3
+    (first 16*(A//21)) anchors; nl=3, g=1+4+16=21.
+    """
+    g = 21
+    y0, y2 = ys[0], ys[-1]
+    ys[0] = y0[:, : y0.shape[1] - y0.shape[1] // g]
+    ys[-1] = y2[:, (y2.shape[1] // g) * (g - 5) :]
+    return ys
+
+
+def predict_augment(model, variables, x):
+    """Test-time-augmented inference: scales (1, 0.83, 0.67) with an
+    lr-flip on the middle pass, merged along the anchor axis.
+
+    Parity: ref:ultralytics/nn/tasks.py:376-392 (_predict_augment).
+    End2end heads revert to single-scale exactly like the reference
+    (their decoded output is post-NMS topk, not mergeable anchors).
+    Jittable as ONE program: the three static input shapes trace to
+    three sub-graphs — no dynamic shapes on TPU.
+    """
+    end2end = any(s["module"] in {"v10Detect", "RTDETRDecoder"} for s in model.specs)
+    if end2end:
+        return model.apply(variables, x)
+    img_hw = (x.shape[1], x.shape[2])
+    ys = []
+    for scale, flip in ((1.0, None), (0.83, 3), (0.67, None)):
+        xi = jnp.flip(x, axis=2) if flip == 3 else x
+        xi = scale_img(xi, scale)
+        yi, _ = model.apply(variables, xi)
+        ys.append(descale_pred(yi, flip, scale, img_hw))
+    ys = clip_augmented(ys)
+    return jnp.concatenate(ys, axis=1), None
 
 
 def build_detection_model(
@@ -487,6 +565,8 @@ def build_detection_model(
     fused: bool = False,
     sort_postprocess: bool | None = None,
     kpt_shape: tuple[int, int] | None = None,
+    save_extra: Sequence[int] = (),
+    return_saved: bool = False,
 ) -> tuple[DetectionModel, dict]:
     """Compile a model YAML into a DetectionModel (+ resolved cfg dict).
 
@@ -510,6 +590,8 @@ def build_detection_model(
             head.append(row)
         d["head"] = head
     specs, save, ch_list = parse_model_specs(d, ch=ch, scale=scale)
+    if save_extra:
+        save = sorted(set(save) | set(int(i) for i in save_extra))
     chunkwise_kernel = resolve_chunkwise_kernel(chunkwise_kernel, training=training)
     model = DetectionModel(
         specs=tuple(specs),
@@ -522,5 +604,40 @@ def build_detection_model(
         decode_only=decode_only,
         fused=fused,
         sort_postprocess=sort_postprocess,
+        return_saved=return_saved,
     )
     return model, d
+
+
+def extract_features(cfg, variables, x, layers: Sequence[int], **build_kw):
+    """Intermediate feature maps of chosen layer indices.
+
+    TPU-native replacement for the reference's forward-hook extractor
+    (ref:vil_backbone.py — registers hooks on backbone stages): instead
+    of mutating hooks, a twin model is compiled with ``layers`` added to
+    the savelist and the executor returns the saved dict — pure and
+    jittable.  Shares params with the plain model (the savelist does not
+    change the param structure).  Returns {layer_i: array}.
+    """
+    model, _ = build_detection_model(
+        cfg, save_extra=tuple(layers), return_saved=True, **build_kw
+    )
+    _, saved = model.apply(variables, x)
+    return {i: saved[i] for i in layers}
+
+
+def embed_features(cfg, variables, x, layers: Sequence[int], **build_kw):
+    """Pooled per-layer embeddings, concatenated to (B, sum C).
+
+    Parity: ref:ultralytics/nn/tasks.py:178-181 (``embed=`` arg of
+    BaseModel._predict_once — adaptive-avg-pool each requested layer to
+    1x1 and concatenate).  NHWC maps mean over (H, W); (B, S, D)
+    sequence outputs mean over S.
+    """
+    feats = extract_features(cfg, variables, x, layers, **build_kw)
+    pooled = []
+    for i in layers:
+        f = feats[i]
+        axes = tuple(range(1, f.ndim - 1))
+        pooled.append(f.mean(axis=axes) if axes else f)
+    return jnp.concatenate(pooled, axis=-1)
