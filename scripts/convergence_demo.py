@@ -26,7 +26,8 @@ sys.path.insert(0, str(REPO))
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if "--device" not in " ".join(sys.argv) or "cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
 
 import cv2  # noqa: E402
 import yaml  # noqa: E402
@@ -64,7 +65,10 @@ def write_dataset(root: Path, n_train=64, n_val=16, size=160):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--epochs", type=int, default=150)
+    ap.add_argument("--device", choices=("cpu", "tpu"), default="cpu",
+                    help="tpu: run the train loop on the real chip "
+                         "(batch-8 train + val are known-safe; ~400x faster)")
     args = ap.parse_args()
 
     from xlstm_yolo_tpu.engine.trainer import DetectionTrainer
@@ -101,8 +105,8 @@ def main():
         "# Training convergence artifact (SURVEY §7 step 7)",
         "",
         f"Tiny 160px ViL-YOLO, synthetic 64-image detect set, {args.epochs} epochs,",
-        "SGD lr0=0.02, mosaic 0.5 (closed for the last 3), CPU run via",
-        "`python scripts/convergence_demo.py`. Full per-epoch log:",
+        f"SGD lr0=0.02, mosaic 0.5 (closed for the last 3), {args.device.upper()} run via",
+        f"`python scripts/convergence_demo.py --device {args.device}`. Full per-epoch log:",
         f"`runs/detect/convergence/results.csv` (committed).",
         "",
         "| epoch | loss | mAP50 | mAP50-95 | fitness |",

@@ -274,6 +274,19 @@ class DetectionTrainer:
                             names=data.get("names"),
                             fname=self.save_dir / "train_batch0.jpg",
                             masks=b0.get("masks"), kpts=b0.get("kpts"))
+                # label-distribution panel (parity: ref plot_labels at
+                # train start)
+                from xlstm_yolo_tpu.utils.plotting import plot_labels
+
+                all_cls = np.concatenate(
+                    [np.asarray(lb["cls"]).ravel() for lb in trainset.labels]
+                ) if getattr(trainset, "labels", None) else np.zeros(0)
+                all_boxes = np.concatenate(
+                    [np.asarray(lb["bboxes"]).reshape(-1, 4)
+                     for lb in trainset.labels]
+                ) if getattr(trainset, "labels", None) else np.zeros((0, 4))
+                plot_labels(all_cls, all_boxes, data.get("names") or {},
+                            self.save_dir / "labels.png")
             except Exception as e:
                 print(f"train-sample plot failed: {e}")
 

@@ -190,6 +190,21 @@ class DetectionValidator:
         if tp.size and target_cls.size:
             self.metrics.process(tp, conf, pred_cls, target_cls)
         self.confusion_matrix = confusion
+        if self.args.plots:
+            # PR/F1/P/R curves + confusion matrix into save_dir
+            # (parity: ref validator on_plot outputs)
+            try:
+                from xlstm_yolo_tpu.utils.plotting import (
+                    plot_confusion_matrix, plot_val_curves,
+                )
+
+                self.save_dir.mkdir(parents=True, exist_ok=True)
+                box_metrics = getattr(self.metrics, "box", self.metrics)
+                plot_val_curves(box_metrics, self.save_dir, self.names)
+                plot_confusion_matrix(confusion.matrix, self.names,
+                                      self.save_dir / "confusion_matrix.png")
+            except Exception as e:  # plotting must never fail a val run
+                print(f"val plots failed: {e}")
         self.seen = seen
         self.speed = {
             "inference": t_inf / max(seen, 1) * 1e3,

@@ -477,12 +477,18 @@ class MatrixLSTMCell(nn.Module):
 
         qb, kb, vb = q.astype(cd), k.astype(cd), v.astype(cd)
         want_state = state is not None
-        # measured on-chip (B8, NH12, S6400): requesting L=1024 (the bsh
-        # wrapper's divisor policy lands on 800) runs 6.51 ms vs 7.25 at
-        # the configs' 512->400 (fewer sequential grid steps). Chunk size
-        # is numerics-neutral for the exact recurrence, so upgrade long
-        # sequences; L=1600 overflows the remote compiler's VMEM budget.
-        cs = 1024 if (S >= 4096 and self.chunk_size < 1024) else self.chunk_size
+        # measured on-chip (B8, NH12, S6400, bp=1, hoisted-causal body):
+        # cs=640 4.53 ms < 800 4.72 < 1024 5.03 < 512 5.44 — the (L, L)
+        # decay/P transients grow quadratically past L~640 and start
+        # spilling, while smaller L pays more sequential grid steps.
+        # Chunk size is numerics-neutral for the exact recurrence, so
+        # upgrade long sequences: 640 when it divides S (no pad waste),
+        # else 1024 (ragged-S pads to the chunk; measured note in
+        # ops/wrappers.py).  L=1600 overflows the remote compiler VMEM.
+        if S >= 4096 and self.chunk_size < 640:
+            cs = 640 if S % 640 == 0 else 1024
+        else:
+            cs = self.chunk_size
         if self.mode == "inference" and self.fuse_outnorm:
             # fuse the outnorm epilogue into the kernel. Measured SLOWER
             # on v5e at the flagship shapes (200 vs 211 img/s e2e): the

@@ -64,7 +64,7 @@ def _fw_body(
     c_scr, n_scr,
     *, G: int, L: int, S: int, DHQK: int, DHHV: int, NC: int,
     qk_scale: float, eps: float, use_initial: bool, save_states: bool,
-    dtype: Any, lnw_ref=None, lnb_ref=None, ln_eps: float = 1e-6,
+    dtype: Any, BP: int = 1, lnw_ref=None, lnb_ref=None, ln_eps: float = 1e-6,
 ):
     j = pl.program_id(2)
     ragged = S % L != 0
@@ -73,91 +73,97 @@ def _fw_body(
     @pl.when(j == 0)
     def _init():
         if use_initial:
-            c_scr[...] = c0_ref[0].reshape(G * DHQK, DHHV).astype(f32)
-            n_scr[...] = n0_ref[0].astype(f32)
+            c_scr[...] = c0_ref[...].reshape(BP * G * DHQK, DHHV).astype(f32)
+            n_scr[...] = n0_ref[...].reshape(BP * G, DHQK).astype(f32)
         else:
-            c_scr[...] = jnp.zeros((G * DHQK, DHHV), f32)
-            n_scr[...] = jnp.zeros((G, DHQK), f32)
+            c_scr[...] = jnp.zeros((BP * G * DHQK, DHHV), f32)
+            n_scr[...] = jnp.zeros((BP * G, DHQK), f32)
 
     row = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
-    qall = q_ref[0]  # (L, G*DHQK)
-    kall = k_ref[0]
-    vall = v_ref[0]
-    if ragged:
-        # OOB loads are unspecified (can be NaN/Inf) — zero-mask before use
-        qall = jnp.where(mask, qall, 0)
-        kall = jnp.where(mask, kall, 0)
-        vall = jnp.where(mask, vall, 0)
+    causal = row >= col  # hoisted: shared across heads + batch items
 
-    for h in range(G):  # static unroll; heads are H-column slices
-        q = qall[:, h * DHQK : (h + 1) * DHQK]
-        k = kall[:, h * DHQK : (h + 1) * DHQK]
-        v = vall[:, h * DHHV : (h + 1) * DHHV]
-        i_row = i_ref[0, 0, h : h + 1, :]  # (1, L) — gates arrive pre-padded
-        f_row = f_ref[0, 0, h : h + 1, :]
-        b, a, logi = _chunk_gates(i_row, f_row)
-        gbar = jnp.exp(g_ref[0, 0, 0, h])
+    # BP batch items per grid step: the per-step pipeline overhead (~28 us
+    # fixed floor measured on v5e, independent of block size) amortizes over
+    # BP * G head-chunks instead of G.  Scratch state is (bi, h)-sliced.
+    for bi in range(BP):
+        qall = q_ref[bi]  # (L, G*DHQK)
+        kall = k_ref[bi]
+        vall = v_ref[bi]
+        if ragged:
+            # OOB loads are unspecified (can be NaN/Inf) — zero-mask before use
+            qall = jnp.where(mask, qall, 0)
+            kall = jnp.where(mask, kall, 0)
+            vall = jnp.where(mask, vall, 0)
 
-        C_prev = c_scr[h * DHQK : (h + 1) * DHQK, :]
-        n_prev = n_scr[h : h + 1, :]
+        for h in range(G):  # static unroll; heads are H-column slices
+            hh = bi * G + h  # scratch row group
+            q = qall[:, h * DHQK : (h + 1) * DHQK]
+            k = kall[:, h * DHQK : (h + 1) * DHQK]
+            v = vall[:, h * DHHV : (h + 1) * DHHV]
+            i_row = i_ref[bi, 0, h : h + 1, :]  # (1, L) — gates pre-padded
+            f_row = f_ref[bi, 0, h : h + 1, :]
+            b, a, logi = _chunk_gates(i_row, f_row)
+            gbar = jnp.exp(g_ref[bi, 0, 0, h])
 
-        if save_states:
-            cstates_ref[0, 0, h] = C_prev
-            nstates_ref[0, 0, h : h + 1, :] = n_prev
+            C_prev = c_scr[hh * DHQK : (hh + 1) * DHQK, :]
+            n_prev = n_scr[hh : hh + 1, :]
 
-        s = jax.lax.dot_general(
-            q.astype(dtype), k.astype(dtype),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=f32,
-        ) * qk_scale
-        D = jnp.where(row >= col, jnp.exp(b.T - b + logi), 0.0)
-        sd = s * D
+            if save_states:
+                cstates_ref[bi, 0, h] = C_prev
+                nstates_ref[bi, 0, h : h + 1, :] = n_prev
 
-        h_intra = jax.lax.dot_general(
-            sd.astype(dtype), v.astype(dtype),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        )
-        n_intra = jnp.sum(sd, axis=1, keepdims=True)
+            s = jax.lax.dot_general(
+                q.astype(dtype), k.astype(dtype),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+            ) * qk_scale
+            sd = jnp.where(causal, s * jnp.exp(b.T - b + logi), 0.0)
 
-        qbar = q.astype(f32) * jnp.exp(b.T) * qk_scale
-        h_inter = jax.lax.dot_general(
-            qbar.astype(dtype), C_prev.astype(dtype),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        )
-        n_inter = jnp.sum(qbar * n_prev, axis=1, keepdims=True)
+            h_intra = jax.lax.dot_general(
+                sd.astype(dtype), v.astype(dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            n_intra = jnp.sum(sd, axis=1, keepdims=True)
 
-        den = jnp.maximum(jnp.abs(n_inter + n_intra), 1.0)  # (L, 1)
-        hval = (h_inter + h_intra) / (den + eps)  # (L, DHHV) f32
-        if lnw_ref is not None:
-            # fused MultiHeadLayerNorm epilogue (inference path): per-token
-            # per-head stats over DHHV, scale = (1 + w) pre-applied by the
-            # caller; saves the separate f32 norm pass over (B, S, H)
-            mu = jnp.mean(hval, axis=1, keepdims=True)
-            var = jnp.mean((hval - mu) ** 2, axis=1, keepdims=True)
-            hval = (hval - mu) * jax.lax.rsqrt(var + ln_eps)
-            hval = hval * lnw_ref[0, h : h + 1, :] + lnb_ref[0, h : h + 1, :]
-        h_ref[0, :, h * DHHV : (h + 1) * DHHV] = hval.astype(h_ref.dtype)
-        if save_states:
-            nout_ref[0, 0, h : h + 1, :] = den.T
+            qbar = q.astype(f32) * jnp.exp(b.T) * qk_scale
+            h_inter = jax.lax.dot_general(
+                qbar.astype(dtype), C_prev.astype(dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            n_inter = jnp.sum(qbar * n_prev, axis=1, keepdims=True)
 
-        kbar = k.astype(f32) * jnp.exp(a.T)
-        dC = jax.lax.dot_general(
-            kbar.astype(dtype), v.astype(dtype),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        )
-        C_new = gbar * C_prev + dC
-        n_new = gbar * n_prev + jnp.sum(kbar, axis=0, keepdims=True)
-        c_scr[h * DHQK : (h + 1) * DHQK, :] = C_new
-        n_scr[h : h + 1, :] = n_new
+            den = jnp.maximum(jnp.abs(n_inter + n_intra), 1.0)  # (L, 1)
+            hval = (h_inter + h_intra) / (den + eps)  # (L, DHHV) f32
+            if lnw_ref is not None:
+                # fused MultiHeadLayerNorm epilogue (inference path): per-token
+                # per-head stats over DHHV, scale = (1 + w) pre-applied by the
+                # caller; saves the separate f32 norm pass over (B, S, H)
+                mu = jnp.mean(hval, axis=1, keepdims=True)
+                var = jnp.mean((hval - mu) ** 2, axis=1, keepdims=True)
+                hval = (hval - mu) * jax.lax.rsqrt(var + ln_eps)
+                hval = hval * lnw_ref[0, h : h + 1, :] + lnb_ref[0, h : h + 1, :]
+            h_ref[bi, :, h * DHHV : (h + 1) * DHHV] = hval.astype(h_ref.dtype)
+            if save_states:
+                nout_ref[bi, 0, h : h + 1, :] = den.T
 
-        @pl.when(j == NC - 1)
-        def _final():
-            clast_ref[0, h] = C_new
-            nlast_ref[0, h : h + 1, :] = n_new
+            kbar = k.astype(f32) * jnp.exp(a.T)
+            dC = jax.lax.dot_general(
+                kbar.astype(dtype), v.astype(dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            C_new = gbar * C_prev + dC
+            n_new = gbar * n_prev + jnp.sum(kbar, axis=0, keepdims=True)
+            c_scr[hh * DHQK : (hh + 1) * DHQK, :] = C_new
+            n_scr[hh : hh + 1, :] = n_new
+
+            @pl.when(j == NC - 1)
+            def _final():
+                clast_ref[bi, h] = C_new
+                nlast_ref[bi, h : h + 1, :] = n_new
 
 
 def _fw_kernel_train(q, k, v, i, f, g, c0, n0,
@@ -199,23 +205,34 @@ def _pack_gates(i, f, NC: int, L: int):
     return ifl, ffl, scaG
 
 
-def _fw_specs(G, HG, L, DHQK, DHHV, use_initial):
+def _fw_specs(G, HG, L, DHQK, DHHV, use_initial, BP=1):
     qkcols = lambda b, hg, j: (b, j, hg)
     rowm = lambda b, hg, j: (b, j, hg, 0)
     smem = lambda b, hg, j: (b, j, 0, hg)
     st = (lambda b, hg, j: (b, hg, 0, 0)) if use_initial else (lambda b, hg, j: (0, hg, 0, 0))
     st3 = (lambda b, hg, j: (b, hg, 0)) if use_initial else (lambda b, hg, j: (0, hg, 0))
+    BPI = BP if use_initial else 1  # zero-init path never reads c0/n0
     in_specs = [
-        pl.BlockSpec((1, L, G * DHQK), qkcols),
-        pl.BlockSpec((1, L, G * DHQK), qkcols),
-        pl.BlockSpec((1, L, G * DHHV), qkcols),
-        pl.BlockSpec((1, 1, G, L), rowm),
-        pl.BlockSpec((1, 1, G, L), rowm),
-        pl.BlockSpec((1, 1, 1, G), smem, memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, G, DHQK, DHHV), st),
-        pl.BlockSpec((1, G, DHQK), st3),
+        pl.BlockSpec((BP, L, G * DHQK), qkcols),
+        pl.BlockSpec((BP, L, G * DHQK), qkcols),
+        pl.BlockSpec((BP, L, G * DHHV), qkcols),
+        pl.BlockSpec((BP, 1, G, L), rowm),
+        pl.BlockSpec((BP, 1, G, L), rowm),
+        pl.BlockSpec((BP, 1, 1, G), smem, memory_space=pltpu.SMEM),
+        pl.BlockSpec((BPI, G, DHQK, DHHV), st),
+        pl.BlockSpec((BPI, G, DHQK), st3),
     ]
     return in_specs, qkcols, rowm
+
+
+def _fw_auto_bp(B: int, L: int, G: int, DHQK: int, DHHV: int) -> int:
+    """Batch items per grid step.  Measured verdict (v5e, B8 S6400 NH12
+    DH32): packing LOSES — the kernel body is serial over (bi, h), so the
+    packed work adds latency instead of amortizing the ~28 us/grid-step
+    pipeline floor (bp=2 @ cs640: 5.55 ms vs bp=1: 4.50 ms; bp=8 @ cs200:
+    14.9 ms; larger packs fail VMEM).  Auto therefore always picks 1; the
+    `batch_pack` argument stays as an explicit experimental override."""
+    return 1
 
 
 def _fw(
@@ -223,7 +240,7 @@ def _fw(
     chunk_size: int = 128, head_group: int = 0,
     qk_scale: float | None = None, eps: float = 1e-6,
     compute_dtype=jnp.bfloat16, save_states: bool = True,
-    ln_weight=None, ln_bias=None,
+    ln_weight=None, ln_bias=None, batch_pack: int | None = None,
 ):
     """q/k (B, S, NH*DHQK); v (B, S, NH*DHHV); i/f (B, S, NH)."""
     B, S, Hqk = q.shape
@@ -238,6 +255,8 @@ def _fw(
     if qk_scale is None:
         qk_scale = DHQK**-0.5
     use_initial = c_initial is not None
+    BP = batch_pack if batch_pack else _fw_auto_bp(B, L, G, DHQK, DHHV)
+    assert B % BP == 0, f"B={B} % batch_pack={BP}"
 
     ifl, ffl, scaG = _pack_gates(i, f, NC, L)
     c0 = (
@@ -251,17 +270,20 @@ def _fw(
         else jnp.zeros((1, NH, DHQK), f32)
     )
 
-    in_specs, qkcols, rowm = _fw_specs(G, HG, L, DHQK, DHHV, use_initial)
+    in_specs, qkcols, rowm = _fw_specs(G, HG, L, DHQK, DHHV, use_initial, BP=BP)
     kw = dict(
         G=G, L=L, S=S, DHQK=DHQK, DHHV=DHHV, NC=NC, qk_scale=qk_scale,
-        eps=eps, use_initial=use_initial, dtype=compute_dtype,
+        eps=eps, use_initial=use_initial, dtype=compute_dtype, BP=BP,
     )
     last = lambda b, hg, j: (b, hg, 0, 0)
     last3 = lambda b, hg, j: (b, hg, 0)
     st5 = lambda b, hg, j: (b, j, hg, 0, 0)
     st4 = lambda b, hg, j: (b, j, hg, 0)
-    scratch = [pltpu.VMEM((G * DHQK, DHHV), f32), pltpu.VMEM((G, DHQK), f32)]
-    grid = (B, HG, NC)
+    scratch = [
+        pltpu.VMEM((BP * G * DHQK, DHHV), f32),
+        pltpu.VMEM((BP * G, DHQK), f32),
+    ]
+    grid = (B // BP, HG, NC)
 
     if save_states:
         out = pl.pallas_call(
@@ -269,12 +291,12 @@ def _fw(
             grid=grid,
             in_specs=in_specs,
             out_specs=[
-                pl.BlockSpec((1, L, G * DHHV), qkcols),
-                pl.BlockSpec((1, 1, G, L), rowm),
-                pl.BlockSpec((1, 1, G, DHQK, DHHV), st5),
-                pl.BlockSpec((1, 1, G, DHQK), st4),
-                pl.BlockSpec((1, G, DHQK, DHHV), last),
-                pl.BlockSpec((1, G, DHQK), last3),
+                pl.BlockSpec((BP, L, G * DHHV), qkcols),
+                pl.BlockSpec((BP, 1, G, L), rowm),
+                pl.BlockSpec((BP, 1, G, DHQK, DHHV), st5),
+                pl.BlockSpec((BP, 1, G, DHQK), st4),
+                pl.BlockSpec((BP, G, DHQK, DHHV), last),
+                pl.BlockSpec((BP, G, DHQK), last3),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((B, S, NH * DHHV), q.dtype),
@@ -306,9 +328,9 @@ def _fw(
             grid=grid,
             in_specs=infer_specs,
             out_specs=[
-                pl.BlockSpec((1, L, G * DHHV), qkcols),
-                pl.BlockSpec((1, G, DHQK, DHHV), last),
-                pl.BlockSpec((1, G, DHQK), last3),
+                pl.BlockSpec((BP, L, G * DHHV), qkcols),
+                pl.BlockSpec((BP, G, DHQK, DHHV), last),
+                pl.BlockSpec((BP, G, DHQK), last3),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((B, S, NH * DHHV), q.dtype),
@@ -387,6 +409,7 @@ def _bw_dqkv_kernel(
     mask = _row_mask(j, L, S) if ragged else None
     row = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    causal = row >= col  # hoisted: shared across heads
 
     qall = q_ref[0]
     kall = k_ref[0]
@@ -613,26 +636,28 @@ def _bw(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
 def _chunkwise_core_v2(q, k, v, i, f, c_initial, n_initial,
                        num_heads, chunk_size, qk_scale, eps, compute_dtype,
-                       return_last_states):
+                       return_last_states, batch_pack=None):
     # primal (not differentiated): lean forward without backward outputs
     h, _, _, c_last, n_last = _fw(
         q, k, v, i, f, num_heads, c_initial, n_initial,
         chunk_size=chunk_size, qk_scale=qk_scale,
         eps=eps, compute_dtype=compute_dtype, save_states=False,
+        batch_pack=batch_pack,
     )
     return (h, (c_last, n_last)) if return_last_states else h
 
 
 def _core_fwd(q, k, v, i, f, c_initial, n_initial,
               num_heads, chunk_size, qk_scale, eps, compute_dtype,
-              return_last_states):
+              return_last_states, batch_pack=None):
     h, n_out, cs, c_last, n_last = _fw(
         q, k, v, i, f, num_heads, c_initial, n_initial,
         chunk_size=chunk_size, qk_scale=qk_scale,
         eps=eps, compute_dtype=compute_dtype, save_states=True,
+        batch_pack=batch_pack,
     )
     res = (q, k, v, i, f, n_out, cs, c_initial is not None)
     out = (h, (c_last, n_last)) if return_last_states else h
@@ -640,7 +665,7 @@ def _core_fwd(q, k, v, i, f, c_initial, n_initial,
 
 
 def _core_bwd(num_heads, chunk_size, qk_scale, eps, compute_dtype,
-              return_last_states, res, g):
+              return_last_states, batch_pack, res, g):
     q, k, v, i, f, n_out, cs, had_init = res
     if return_last_states:
         dh, (dc_last, _dn_last) = g
@@ -672,6 +697,7 @@ def mlstm_siging_chunkwise_pallas_v2_bsh(
     compute_dtype=jnp.bfloat16,
     ln_weight=None,
     ln_bias=None,
+    batch_pack: int | None = None,
 ):
     """Native entry: q/k/v (B, S, H), i/f (B, S, NH) — zero transposes.
 
@@ -705,13 +731,13 @@ def mlstm_siging_chunkwise_pallas_v2_bsh(
             q, k, v, i, f, num_heads, c_initial, n_initial,
             chunk_size=chunk_size, qk_scale=qk_scale, eps=eps,
             compute_dtype=compute_dtype, save_states=False,
-            ln_weight=ln_weight, ln_bias=ln_bias,
+            ln_weight=ln_weight, ln_bias=ln_bias, batch_pack=batch_pack,
         )
         return (h, (c_last, n_last)) if return_last_states else h
     return _chunkwise_core_v2(
         q, k, v, i, f, c_initial, n_initial,
         num_heads, chunk_size, qk_scale, eps, compute_dtype,
-        return_last_states,
+        return_last_states, batch_pack,
     )
 
 

@@ -14,3 +14,5 @@ from xlstm_yolo_tpu.solutions.distance_calculation import DistanceCalculation  #
 from xlstm_yolo_tpu.solutions.ai_gym import AIGym  # noqa: F401
 from xlstm_yolo_tpu.solutions.trackzone import TrackZone  # noqa: F401
 from xlstm_yolo_tpu.solutions.analytics import Analytics  # noqa: F401
+from xlstm_yolo_tpu.solutions.parking_management import ParkingManagement, save_slots  # noqa: F401
+from xlstm_yolo_tpu.solutions.security_alarm import SecurityAlarm  # noqa: F401

@@ -208,7 +208,9 @@ def ap_per_class(
     """Per-class AP across the 10 COCO IoU thresholds.
 
     Parity: metrics.py:537-626.  Returns tp/fp counts at max-F1 conf,
-    p, r, f1, ap (nc, 10), and the present class ids.
+    p, r, f1, ap (nc, 10), the present class ids, and the curves
+    (x, p/r/f1 conf curves, 101-pt PR values) the reference feeds its
+    plot_pr_curve / plot_mc_curve renderers.
     """
     order = np.argsort(-conf)
     tp, conf, pred_cls = tp[order], conf[order], pred_cls[order]
@@ -220,6 +222,7 @@ def ap_per_class(
     p_curve = np.zeros((nc, 1000))
     r_curve = np.zeros((nc, 1000))
     x = np.linspace(0, 1, 1000)
+    prec_values = np.zeros((nc, 101))  # precision at mAP@0.5 recall grid
 
     for ci, c in enumerate(unique_classes):
         mask = pred_cls == c
@@ -234,14 +237,18 @@ def ap_per_class(
         r_curve[ci] = np.interp(-x, -conf[mask], recall[:, 0], left=0)
         p_curve[ci] = np.interp(-x, -conf[mask], precision[:, 0], left=1)
         for j in range(tp.shape[1]):
-            ap[ci, j], _, _ = compute_ap(recall[:, j], precision[:, j])
+            ap[ci, j], mpre, mrec = compute_ap(recall[:, j], precision[:, j])
+            if j == 0:
+                prec_values[ci] = np.interp(
+                    np.linspace(0, 1, 101), mrec, mpre)
 
     f1_curve = 2 * p_curve * r_curve / (p_curve + r_curve + eps)
     i = smooth(f1_curve.mean(0), 0.1).argmax()
     p, r, f1 = p_curve[:, i], r_curve[:, i], f1_curve[:, i]
     tp_count = (r * nt).round()
     fp_count = (tp_count / (p + eps) - tp_count).round()
-    return tp_count, fp_count, p, r, f1, ap, unique_classes.astype(int)
+    curves = (x, p_curve, r_curve, f1_curve, prec_values)
+    return tp_count, fp_count, p, r, f1, ap, unique_classes.astype(int), curves
 
 
 @dataclass
@@ -255,10 +262,13 @@ class DetMetrics:
     all_ap: np.ndarray = field(default_factory=lambda: np.zeros((0, 10)))
     ap_class_index: np.ndarray = field(default_factory=lambda: np.array([], dtype=int))
     nt_per_class: np.ndarray = field(default_factory=lambda: np.array([], dtype=int))
+    # (x(1000), p_curve, r_curve, f1_curve (nc, 1000), prec_values (nc, 101))
+    curves_results: tuple | None = None
 
     def process(self, tp, conf, pred_cls, target_cls):
         res = ap_per_class(tp, conf, pred_cls, target_cls)
-        _, _, self.p, self.r, self.f1, self.all_ap, self.ap_class_index = res
+        (_, _, self.p, self.r, self.f1, self.all_ap, self.ap_class_index,
+         self.curves_results) = res
         # nc-length bincount so counts align with class ids, not just the
         # classes present (parity: ref DetMetrics nt_per_class)
         nc = len(self.names) or (int(target_cls.max()) + 1 if len(target_cls) else 0)

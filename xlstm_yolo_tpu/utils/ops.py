@@ -181,16 +181,26 @@ def nms_jax(boxes, scores, iou_thres: float = 0.45, max_out: int = 300):
     def body(i, carry):
         scores_live, keep_idx, keep_ok = carry
         j = jnp.argmax(scores_live)
-        ok = scores_live[j] > -jnp.inf
+        ok = jnp.max(scores_live) > -jnp.inf
         keep_idx = keep_idx.at[i].set(jnp.where(ok, j, -1))
         keep_ok = keep_ok.at[i].set(ok)
-        xx1 = jnp.maximum(x1[j], x1)
-        yy1 = jnp.maximum(y1[j], y1)
-        xx2 = jnp.minimum(x2[j], x2)
-        yy2 = jnp.minimum(y2[j], y2)
+        # gather-free row selection (one-hot reduce): dynamic gathers in a
+        # program that also runs Pallas kernels hit the documented runtime
+        # fault mode (docs/KNOWN_ISSUES.md) — keep NMS gather-free so it can
+        # be jitted into the same program as the model.
+        sel = jnp.arange(N) == j
+        x1j = jnp.sum(jnp.where(sel, x1, 0.0))
+        y1j = jnp.sum(jnp.where(sel, y1, 0.0))
+        x2j = jnp.sum(jnp.where(sel, x2, 0.0))
+        y2j = jnp.sum(jnp.where(sel, y2, 0.0))
+        aj = jnp.sum(jnp.where(sel, areas, 0.0))
+        xx1 = jnp.maximum(x1j, x1)
+        yy1 = jnp.maximum(y1j, y1)
+        xx2 = jnp.minimum(x2j, x2)
+        yy2 = jnp.minimum(y2j, y2)
         inter = jnp.clip(xx2 - xx1, 0) * jnp.clip(yy2 - yy1, 0)
-        iou = inter / (areas[j] + areas - inter + 1e-7)
-        suppress = (iou > iou_thres) | (jnp.arange(N) == j)
+        iou = inter / (aj + areas - inter + 1e-7)
+        suppress = (iou > iou_thres) | sel
         scores_live = jnp.where(suppress & ok, -jnp.inf, scores_live)
         return scores_live, keep_idx, keep_ok
 
@@ -215,11 +225,16 @@ def nms_rotated_jax(rboxes, scores, iou_thres: float = 0.45, max_out: int = 300)
     def body(i, carry):
         scores_live, keep_idx, keep_ok = carry
         j = jnp.argmax(scores_live)
-        ok = scores_live[j] > -jnp.inf
+        ok = jnp.max(scores_live) > -jnp.inf
         keep_idx = keep_idx.at[i].set(jnp.where(ok, j, -1))
         keep_ok = keep_ok.at[i].set(ok)
-        iou = probiou(rboxes[j][None], rboxes)  # (N,)
-        suppress = (iou > iou_thres) | (jnp.arange(N) == j)
+        # gather-free row selection (one-hot matmul) — see nms_jax note:
+        # this jits into the same program as Pallas-kernel models (obb
+        # val/predict), where dynamic gathers fault the runtime.
+        sel = (jnp.arange(N) == j).astype(rboxes.dtype)
+        rj = sel @ rboxes  # (5,)
+        iou = probiou(rj[None], rboxes)  # (N,)
+        suppress = (iou > iou_thres) | (sel > 0)
         scores_live = jnp.where(suppress & ok, -jnp.inf, scores_live)
         return scores_live, keep_idx, keep_ok
 
@@ -314,10 +329,14 @@ def non_max_suppression(
         return idx, keep_ok
 
     idx, ok = jax.vmap(per_image)(off_boxes, masked_scores)
-    take = lambda arr: jnp.take_along_axis(arr, idx[..., None], axis=1)
-    out = jnp.concatenate(
-        [take(boxes), take(conf[..., None][..., 0:1]), take(cls[..., None])], axis=-1
-    )
+    # gather-free row selection (one-hot matmul), matching the rotated
+    # branch above: this function jits into the same program as a
+    # Pallas-kernel backbone during val, where dynamic gathers hit the
+    # documented runtime fault mode (docs/KNOWN_ISSUES.md).
+    A = boxes.shape[1]
+    onehot = (idx[..., None] == jnp.arange(A)[None, None]).astype(boxes.dtype)
+    cat = jnp.concatenate([boxes, conf[..., None], cls[..., None]], axis=-1)
+    out = jnp.einsum("bka,bac->bkc", onehot, cat)
     if return_idx:
         return out, ok, idx
     return out, ok
