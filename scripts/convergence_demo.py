@@ -85,12 +85,16 @@ def main():
     tr = DetectionTrainer(overrides={
         "model": str(REPO / "xlstm_yolo_tpu/cfg/models/vil-det-tiny.yaml"),
         "data": str(data_yaml),
+        # AdamW lr 1e-3: the recipe that trains the reference torch model
+        # to mAP50-95 ~0.45 in 1200 steps on the parity shape set
+        # (scripts/parity_trained.py) — 150 epochs x 8 steps = 1200 steps.
+        # Mosaic off: the artifact demonstrates optimization, not aug.
         "imgsz": 160, "epochs": args.epochs, "batch": 8, "workers": 4,
-        "max_targets": 16, "optimizer": "SGD", "lr0": 0.02, "lrf": 0.1,
+        "max_targets": 16, "optimizer": "AdamW", "lr0": 1e-3, "lrf": 0.1,
         "amp": False, "project": str(REPO / "runs" / "detect"),
         "name": "convergence", "exist_ok": True,
-        "mosaic": 0.5, "fliplr": 0.5, "scale": 0.3, "translate": 0.1,
-        "val": True, "plots": False, "patience": 100, "close_mosaic": 3,
+        "mosaic": 0.0, "fliplr": 0.5, "scale": 0.2, "translate": 0.1,
+        "val": True, "plots": False, "patience": 1000, "close_mosaic": 0,
     }, model_cfg=str(REPO / "xlstm_yolo_tpu/cfg/models/vil-det-tiny.yaml"))
     tr.train()
 
@@ -105,14 +109,18 @@ def main():
         "# Training convergence artifact (SURVEY §7 step 7)",
         "",
         f"Tiny 160px ViL-YOLO, synthetic 64-image detect set, {args.epochs} epochs,",
-        f"SGD lr0=0.02, mosaic 0.5 (closed for the last 3), {args.device.upper()} run via",
+        f"AdamW lr0=1e-3 (cosine-free linear decay to 0.1x), flip/scale aug,",
+        f"{args.device.upper()} run via",
         f"`python scripts/convergence_demo.py --device {args.device}`. Full per-epoch log:",
         f"`runs/detect/convergence/results.csv` (committed).",
         "",
         "| epoch | loss | mAP50 | mAP50-95 | fitness |",
         "|---|---|---|---|---|",
     ]
-    for r in rows:
+    show = [r for i, r in enumerate(rows) if i % max(1, len(rows) // 15) == 0]
+    if rows and rows[-1] not in show:
+        show.append(rows[-1])
+    for r in show:
         lines.append(
             f"| {r['epoch']} | {float(r.get('loss') or 0):.3f} "
             f"| {float(r.get('metrics/mAP50(B)') or 0):.4f} "

@@ -128,7 +128,12 @@ def run_reference_val(tm, yaml_path: Path) -> dict:
     return {k: float(x) for k, x in stats.items()}
 
 
-def run_our_val(torch_sd: dict, yaml_path: Path) -> dict:
+def run_our_val(torch_sd: dict, yaml_path: Path, kernel: str | None = None) -> dict:
+    """kernel: chunkwise registry key override. 'chunkwise--native_stablef'
+    selects the exp-input-gate math the reference dispatches to on CPU
+    (ref:vision_lstm2.py:640-697 routes CPU to chunkwise--native_autograd
+    == mlstm_kernels' exp-gate xl_chunk); the default siging kernel is the
+    GPU/deployment math (docs/KNOWN_ISSUES.md 'CPU vs GPU gate math')."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -139,7 +144,8 @@ def run_our_val(torch_sd: dict, yaml_path: Path) -> dict:
     from xlstm_yolo_tpu.nn.tasks import build_detection_model
     from xlstm_yolo_tpu.utils.torch_convert import convert_torch_state_dict
 
-    model, _ = build_detection_model(MODEL_YAML)
+    kw = {"chunkwise_kernel": kernel} if kernel else {}
+    model, _ = build_detection_model(MODEL_YAML, **kw)
     variables = jax.eval_shape(
         model.init, jax.random.PRNGKey(0), jnp.zeros((1, IMGSZ, IMGSZ, 3), jnp.float32)
     )

@@ -178,10 +178,20 @@ def main():
     torch_sd = copy.deepcopy(dict(tm.state_dict()))
     ref_stats = pm.run_reference_val(tm, yaml_path)
     print("reference:", json.dumps(ref_stats), flush=True)
-    our_stats = pm.run_our_val(torch_sd, yaml_path)
-    print("ours:     ", json.dumps(our_stats), flush=True)
+    # exp-gate kernel: the math the reference itself runs on CPU
+    # (vision_lstm2.py dispatches CPU to mlstm_kernels' exp-gate
+    # chunkwise) — this is the apples-to-apples comparison. The default
+    # siging kernel is the GPU/deployment math; at trained gate regimes
+    # the two diverge BY DESIGN in the reference (docs/KNOWN_ISSUES.md).
+    our_stats = pm.run_our_val(torch_sd, yaml_path,
+                               kernel="chunkwise--native_stablef")
+    print("ours(exp-gate):", json.dumps(our_stats), flush=True)
+    our_siging = pm.run_our_val(torch_sd, yaml_path)
+    print("ours(siging):  ", json.dumps(our_siging), flush=True)
 
     delta = our_stats.get("metrics/mAP50-95(B)", float("nan")) - ref_stats.get(
+        "metrics/mAP50-95(B)", float("nan"))
+    delta_siging = our_siging.get("metrics/mAP50-95(B)", float("nan")) - ref_stats.get(
         "metrics/mAP50-95(B)", float("nan"))
     n_labels = sum(
         len(p.read_text().splitlines())
@@ -190,9 +200,12 @@ def main():
     (REPO / "PARITY_TRAINED.json").write_text(json.dumps({
         "protocol": "real-labels-v2", "steps": args.steps,
         "reference": ref_stats, "ours": our_stats,
-        "delta_map5095": delta, "n_labels": n_labels,
+        "ours_siging_deployment_math": our_siging,
+        "delta_map5095": delta, "delta_map5095_siging": delta_siging,
+        "n_labels": n_labels,
     }, indent=1))
-    print(f"delta mAP50-95 (trained weights): {delta:+.4f}")
+    print(f"delta mAP50-95 (trained weights, exp-gate): {delta:+.4f}")
+    print(f"delta mAP50-95 (trained weights, siging):   {delta_siging:+.4f}")
 
     md = REPO / "PARITY.md"
     txt = md.read_text()
@@ -204,13 +217,19 @@ def main():
         f"{args.steps} AdamW steps on CPU (its own v8DetectionLoss), then both\n"
         f"validators run against the same real labels on the converted\n"
         f"weights (`python scripts/parity_trained.py`) — gates/soft-caps sit\n"
-        f"in trained regimes and the target set cannot be tie-degenerate:\n\n"
-        f"| metric | reference | ours | delta |\n|---|---|---|---|\n"
-        f"| mAP50 | {ref_stats['metrics/mAP50(B)']:.4f} | {our_stats['metrics/mAP50(B)']:.4f} | {our_stats['metrics/mAP50(B)'] - ref_stats['metrics/mAP50(B)']:+.4f} |\n"
-        f"| mAP50-95 | {ref_stats['metrics/mAP50-95(B)']:.4f} | {our_stats['metrics/mAP50-95(B)']:.4f} | {delta:+.4f} |\n\n"
-        f"Raw-output agreement on the same trained checkpoint over all 16\n"
-        f"val images (scripts/parity_trained_diag.py): top-8 boxes within\n"
-        f"0.0036 px, max conf delta < 1e-6, classes identical.\n"
+        f"in trained regimes and the target set cannot be tie-degenerate.\n\n"
+        f"The val pipelines were first proven aligned stage-by-stage\n"
+        f"(scripts/parity_trained_diag2.py + parity_pixels_diag.py): the\n"
+        f"preprocessed val pixels are byte-identical, and TP matching and\n"
+        f"AP integration are bit-identical on shared predictions. The\n"
+        f"remaining knob is the mLSTM gate math itself: on CPU the\n"
+        f"reference dispatches to mlstm_kernels' exp-input-gate chunkwise,\n"
+        f"while GPU deployment uses siging (ref:vision_lstm2.py:640-697) —\n"
+        f"the two diverge by design at trained gate regimes\n"
+        f"(docs/KNOWN_ISSUES.md). Ours evaluated with each:\n\n"
+        f"| metric | reference (CPU=exp-gate) | ours exp-gate | delta | ours siging | delta |\n|---|---|---|---|---|---|\n"
+        f"| mAP50 | {ref_stats['metrics/mAP50(B)']:.4f} | {our_stats['metrics/mAP50(B)']:.4f} | {our_stats['metrics/mAP50(B)'] - ref_stats['metrics/mAP50(B)']:+.4f} | {our_siging['metrics/mAP50(B)']:.4f} | {our_siging['metrics/mAP50(B)'] - ref_stats['metrics/mAP50(B)']:+.4f} |\n"
+        f"| mAP50-95 | {ref_stats['metrics/mAP50-95(B)']:.4f} | {our_stats['metrics/mAP50-95(B)']:.4f} | {delta:+.4f} | {our_siging['metrics/mAP50-95(B)']:.4f} | {delta_siging:+.4f} |\n"
     )
     if marker in txt:
         txt = txt[: txt.index(marker)].rstrip() + "\n" + section

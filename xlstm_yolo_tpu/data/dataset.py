@@ -128,10 +128,16 @@ class YOLODataset:
             )
         else:
             self.transforms = None
-        # val/eval letterbox only scales DOWN, matching the reference's val
-        # transform (ref:ultralytics/data/dataset.py:181 scaleup=False) —
-        # upscaling small images inflates/deflates val mAP vs the reference.
-        self.letterbox = LetterBox((imgsz, imgsz), auto=False, scaleup=bool(augment))
+        # val/eval letterbox DOES scale up: the reference's val letterbox is
+        # scaleup=False (ref:ultralytics/data/dataset.py:181) but its
+        # load_image has ALREADY resized the long side to imgsz — including
+        # upscaling small images (ref:ultralytics/data/base.py:168-172
+        # `r = imgsz / max(h0, w0)` applied for any r != 1) — so the
+        # letterbox is a pad-only no-op and the effective protocol is
+        # always-resize. Measured: evaluating small images un-upscaled
+        # shifted mAP50-95 by +0.087 on the trained-parity set
+        # (scripts/parity_trained_diag2.py decomposition).
+        self.letterbox = LetterBox((imgsz, imgsz), auto=False, scaleup=True)
 
     # -- scanning / label cache -------------------------------------------
     @staticmethod
@@ -324,11 +330,29 @@ class YOLODataset:
             kpts_px = labels["keypoints"]
         else:
             im = self.load_image(i)
-            orig_shape = im.shape[:2]
-            labels0 = self._px_labels(i, orig_shape[1], orig_shape[0])
+            h0, w0 = im.shape[:2]
+            orig_shape = (h0, w0)
+            # reference val protocol, replicated exactly: load_image FIRST
+            # resizes the long side to imgsz — up or down, per-dim ceil
+            # capped at imgsz (ref:data/base.py:168-172) — then the
+            # letterbox only pads, and scale_boxes inverts with
+            # gain = resized_h/h0 (ref:data/base.py:295-298,
+            # utils/ops.py:117). The earlier single-letterbox val fed
+            # different pixels: +0.087 mAP50-95 without upscale, -0.034
+            # with round-arithmetic upscale, on the trained-parity set
+            # (scripts/parity_trained_diag2.py isolated the delta to the
+            # pixel path — matching and AP math are bit-identical).
+            r = self.imgsz / max(h0, w0)
+            if r != 1:
+                wr = min(math.ceil(w0 * r), self.imgsz)
+                hr = min(math.ceil(h0 * r), self.imgsz)
+                im = cv2.resize(im, (wr, hr), interpolation=cv2.INTER_LINEAR)
+            else:
+                hr, wr = h0, w0
+            labels0 = self._px_labels(i, wr, hr)
             out = self.letterbox(im, labels0)
             img, bboxes, cls = out["img"], out["bboxes"], labels0["cls"]
-            ratio_pad = out["ratio_pad"]
+            ratio_pad = ((hr / h0, wr / w0), out["ratio_pad"][1])
             segments_px = out["segments"]
             kpts_px = out["keypoints"]
         img = np.ascontiguousarray(img[..., ::-1])  # BGR -> RGB

@@ -131,21 +131,32 @@ def wrap_chunkwise_arbitrary_sequence_length(
 
     h_parts = []
     C, n = _zeros_like_state(state, q, v)
+    m = None  # running-max state of exp-gate (stabilized) kernels
     for start, seg, seg_cs in plan:
         sl = slice(start, start + seg)
-        h_seg, (C, n) = chunkwise_kernel(
+        h_seg, st = chunkwise_kernel(
             q[:, :, sl], k[:, :, sl], v[:, :, sl], i[:, :, sl], f[:, :, sl],
             chunk_size=seg_cs, c_initial=C, n_initial=n,
-            return_last_states=True, eps=eps, **kwargs,
+            return_last_states=True, eps=eps,
+            **({"m_initial": m} if m is not None else {}), **kwargs,
         )
+        C, n = st[0], st[1]
+        m = st[2] if len(st) > 2 else None
         h_parts.append(h_seg)
 
     if remaining > 0:
         sl = slice(prefix, S)
-        h_tail, (C, n) = sequence_kernel(
+        import inspect
+
+        seq_kw = {}
+        if m is not None and "m_initial" in inspect.signature(sequence_kernel).parameters:
+            seq_kw["m_initial"] = m
+        h_tail, st = sequence_kernel(
             q[:, :, sl], k[:, :, sl], v[:, :, sl], i[:, :, sl], f[:, :, sl],
             c_initial=C, n_initial=n, eps=eps, return_last_states=True,
+            **seq_kw,
         )
+        C, n = st[0], st[1]
         h_parts.append(h_tail)
 
     h = h_parts[0] if len(h_parts) == 1 else jnp.concatenate(h_parts, axis=2)

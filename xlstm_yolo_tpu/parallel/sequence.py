@@ -47,23 +47,36 @@ f32 = jnp.float32
 __all__ = ["sequence_parallel_chunkwise", "chunkwise_shard_states"]
 
 
-def chunkwise_shard_states(k, v, i, f, chunk_size: int):
+def chunkwise_shard_states(k, v, i, f, chunk_size: int,
+                           compute_dtype=jnp.bfloat16):
     """State-only pass: the shard's affine map (G, dC, dn).
 
     Runs only the O(S * DHQK * DHHV) state math — none of the intra-chunk
     (L, L) work (that happens once, in pass 3).
+
+    ``compute_dtype`` is the matmul operand dtype of the pass-3 kernel so
+    the sharded run matches an unsharded one: this pass mirrors the
+    native chunkwise kernel's state math exactly (mlstm_chunkwise.py:
+    115-128 — cd-operand kbar/dC matmul with f32 accumulation, f32 dN
+    sum), which is the default pass-3 kernel. f32 inputs are
+    bit-identical under every kernel; bf16 inputs are bit-identical
+    under the native kernel and within one product-rounding of the
+    Pallas v2 kernel (which multiplies kbar in f32 before the bf16
+    cast, chunkwise_v2.py:152-156).
     """
     B, NH, S, DHQK = k.shape
     DHHV = v.shape[-1]
     L = min(chunk_size, S)
     assert S % L == 0
+    cd = f32 if k.dtype == f32 else compute_dtype
     gates = chunkwise_log_gates(i, f, L)
-    kc = _split_chunks(k, L).astype(f32)
-    vc = _split_chunks(v, L).astype(f32)
+    kc = _split_chunks(k, L)
+    vc = _split_chunks(v, L)
     abar = jnp.exp(gates.vecA)  # (B, NH, NC, L)
-    kbar = kc * abar[..., None]
-    dC = jnp.einsum("bhnld,bhnlv->bhndv", kbar, vc, preferred_element_type=f32)
-    dN = kbar.sum(axis=-2)
+    kbar = kc.astype(cd) * abar[..., None].astype(cd)
+    dC = jnp.einsum("bhnld,bhnlv->bhndv", kbar, vc.astype(cd),
+                    preferred_element_type=f32)
+    dN = kbar.astype(f32).sum(axis=-2)
     gbar = jnp.exp(gates.scaG)  # (B, NH, NC)
 
     def step(carry, xs):
