@@ -111,6 +111,17 @@ def test_train_val_predict_roundtrip(synth_dataset, tmp_path):
     for a, b in zip(leaves_a, leaves_b):
         np.testing.assert_array_equal(a, b)
 
+    # AutoBackend self-configures from the checkpoint's meta.json sidecar
+    # (ref:nn/autobackend.py:303-318 restores names/task from the payload)
+    from xlstm_yolo_tpu.nn.autobackend import AutoBackend
+
+    ab = AutoBackend(tr.wdir / "best", compute_dtype=None)
+    assert ab.format.startswith("orbax")
+    assert ab.imgsz == 160 and ab.task == "detect"
+    assert ab.names is not None and len(ab.names) >= 1
+    y = np.asarray(ab.forward(np.zeros((1, 160, 160, 3), np.uint8)))
+    assert y.shape[-1] == 6
+
 
 def test_predictor_on_image(tmp_path):
     import cv2
