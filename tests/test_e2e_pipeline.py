@@ -482,3 +482,21 @@ def test_rtdetr_train_short(synth_dataset):
                   workers=0, val=False, save=False, plots=False,
                   warmup_epochs=0.0)
     assert res is not None
+
+
+@pytest.mark.slow
+def test_benchmark_over_formats(tmp_path):
+    """Facade benchmark() exports each XLA format, reloads and times it
+    (ref:utils/benchmarks.py:51 exports+reloads+times each format)."""
+    from xlstm_yolo_tpu.engine.model import YOLO
+    from xlstm_yolo_tpu.utils.benchmarks import benchmark
+
+    m = YOLO(str(CFG_TINY))
+    rows = benchmark(m, imgsz=160, batch=1,
+                     formats=("jit", "stablehlo", "orbax", "orbax_int8"),
+                     verbose=False, out_dir=tmp_path)
+    by_fmt = {r["format"]: r for r in rows}
+    assert set(by_fmt) == {"jit", "stablehlo", "orbax", "orbax_int8"}
+    for fmt, r in by_fmt.items():
+        assert r["status"] == "ok", f"{fmt}: {r['status']}"
+        assert r["img/s"] > 0

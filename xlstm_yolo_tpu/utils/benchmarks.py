@@ -15,6 +15,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 from itertools import product
+from pathlib import Path
 from typing import Callable
 
 import jax
@@ -35,8 +36,22 @@ def measure_throughput(fn: Callable, make_input: Callable, iters: int = 16,
     return (time.perf_counter() - t0) / iters
 
 
-def benchmark(model, imgsz: int = 640, batch: int = 8, formats=("jit",), verbose=True):
-    """Speed (+optional accuracy) table across inference paths."""
+def benchmark(model, imgsz: int = 640, batch: int = 8,
+              formats=("jit", "stablehlo", "orbax", "orbax_int8"),
+              data=None, verbose=True, out_dir=None):
+    """Speed (+optional accuracy) table across export formats.
+
+    Parity: ref:ultralytics/utils/benchmarks.py:51 — the reference
+    exports each format, reloads it, measures inference speed and
+    (when ``data`` is given) validates mAP. Here the XLA format set is
+    exercised end-to-end: export via ``engine.Exporter``, reload via
+    ``AutoBackend`` / ``load_stablehlo``, measure with the relay-safe
+    pipelined protocol, and — for formats that restore parameters —
+    run the task validator for the metric column.
+    """
+    import tempfile
+    from types import SimpleNamespace
+
     bundle = model._get_bundle(imgsz=imgsz)
     flax_model, variables = bundle["model"], bundle["variables"]
 
@@ -49,17 +64,51 @@ def benchmark(model, imgsz: int = 640, batch: int = 8, formats=("jit",), verbose
     def make_input(key):
         return jax.random.randint(key, (batch, imgsz, imgsz, 3), 0, 255, jnp.uint8)
 
+    def val_map(bundle) -> float | None:
+        if data is None:
+            return None
+        from xlstm_yolo_tpu.cfg import get_cfg
+        from xlstm_yolo_tpu.engine.validator import DetectionValidator
+
+        cfg = get_cfg(overrides=dict(
+            data=str(data), imgsz=imgsz, batch=batch, workers=0,
+            task="detect", plots=False, save_json=False))
+        res = DetectionValidator(cfg, data=str(data))(bundle, batch_size=batch)
+        return float(res.get("metrics/mAP50-95(B)", float("nan")))
+
+    out_dir = Path(out_dir) if out_dir else Path(tempfile.mkdtemp(prefix="bench_fmt_"))
     rows = []
     for fmt in formats:
-        if fmt == "jit":
-            sec = measure_throughput(predict, make_input)
+        try:
+            if fmt == "jit":
+                sec = measure_throughput(predict, make_input)
+                m = val_map({"model": flax_model, "variables": variables})
+            else:
+                from xlstm_yolo_tpu.engine.exporter import Exporter, load_stablehlo
+
+                args = SimpleNamespace(format=fmt, imgsz=imgsz, batch=batch)
+                path = Exporter(args)(
+                    {"model": flax_model, "variables": variables},
+                    out_dir=out_dir / fmt)
+                if fmt == "stablehlo":
+                    fn = load_stablehlo(path)
+                    sec = measure_throughput(fn, make_input)
+                    m = None  # serialized program: no variables to re-val
+                else:
+                    from xlstm_yolo_tpu.nn.autobackend import AutoBackend
+
+                    ab = AutoBackend(path, model_cfg=model.model_cfg,
+                                     imgsz=imgsz, fuse=False)
+                    sec = measure_throughput(ab._jit, make_input)
+                    m = val_map({"model": ab.model, "variables": ab.variables})
             rows.append({
-                "format": "jit (bf16)",
-                "imgsz": imgsz,
-                "batch": batch,
+                "format": fmt, "status": "ok", "imgsz": imgsz, "batch": batch,
                 "ms/img": round(sec / batch * 1e3, 2),
                 "img/s": round(batch / sec, 1),
+                "mAP50-95": None if m is None else round(m, 4),
             })
+        except Exception as e:  # a failing format must not sink the table
+            rows.append({"format": fmt, "status": f"{type(e).__name__}: {e}"})
     if verbose:
         for r in rows:
             print(r)
