@@ -432,3 +432,31 @@ def test_topk_postprocess_variants_agree():
     for fn in (topk_postprocess_matmul, topk_postprocess_sorted):
         got = np.asarray(jax.jit(lambda p, fn=fn: fn(p, 20, 7))(preds))
         np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_mlstm_layer_vision_twins():
+    """mlstm_large vision layer family fwd+bwd (ref:mlstm_large.py:135,366)."""
+    import jax
+    import jax.numpy as jnp
+
+    from xlstm_yolo_tpu.nn.vil_extras import MLSTMLayerVision, VilLayerUpdated
+
+    x = jnp.ones((2, 64, 96), jnp.float32) * 0.1
+    for mod in (
+        MLSTMLayerVision(dim=96, num_heads=4),
+        VilLayerUpdated(dim=96, num_heads=4, direction="rowwise_from_bot_right"),
+    ):
+        v = mod.init(jax.random.PRNGKey(0), x)
+        y = mod.apply(v, x)
+        assert y.shape == x.shape and bool(jnp.isfinite(y).all())
+        g = jax.grad(lambda p: mod.apply(p, x).sum())(v)
+        assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(g))
+
+    # directional flip equivariance: bot_right(x) == flip(top_left(flip(x)))
+    tl = VilLayerUpdated(dim=96, num_heads=4, direction="rowwise_from_top_left")
+    br = VilLayerUpdated(dim=96, num_heads=4, direction="rowwise_from_bot_right")
+    v = tl.init(jax.random.PRNGKey(1), x)
+    r = jax.random.normal(jax.random.PRNGKey(2), x.shape)
+    a = br.apply(v, r)
+    b = tl.apply(v, r[:, ::-1])[:, ::-1]
+    assert float(jnp.abs(a - b).max()) < 1e-5

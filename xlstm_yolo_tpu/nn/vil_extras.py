@@ -253,3 +253,107 @@ class HierarchicalVisionLSTM(nn.Module):
             return fused
         pooled = fused.mean(axis=1)
         return nn.Dense(self.num_classes, name="head")(pooled)
+
+
+class MLSTMLayerVision(nn.Module):
+    """Vision mLSTM layer of the dormant ``mlstm_large`` family.
+
+    Parity: ref:nn/modules/vision_lstm/mlstm_large.py:135-345
+    (mLSTMLayerVision, weight_mode="single"): a FULL (non-depthwise)
+    SequenceConv2d feeds silu-activated q/k projections, v/o-gate
+    project from x directly, i/f gates are soft-capped per head, the
+    cell runs the exp-input-gate chunkwise backend, per-head layernorm,
+    sigmoid output gate, and the out projection. Not instantiated by
+    any shipped config (vision_lstm2 imports it but ViLBlock uses
+    ViLLayer) — implemented for component completeness.
+    """
+
+    dim: int
+    num_heads: int
+    qk_dim_factor: float = 0.5
+    v_dim_factor: float = 1.0
+    gate_soft_cap: float = 15.0
+    use_bias: bool = False
+    chunk_size: int = 64
+    seqlens: Sequence[int] | None = None
+    training: bool = False
+    chunkwise_kernel: str = "chunkwise--native_stablef"  # exp gate, m-state
+
+    @nn.compact
+    def __call__(self, x):
+        from xlstm_yolo_tpu.nn.layers import (
+            MultiHeadLayerNorm, SequenceConv2d, soft_cap,
+        )
+        from xlstm_yolo_tpu.ops import backend as ops_backend
+
+        B, S, D = x.shape
+        NH = self.num_heads
+        v_dim = int(D * self.v_dim_factor)
+        qk_dim = int(D * self.qk_dim_factor)
+
+        conv_out = SequenceConv2d(
+            dim=D, out_dim=v_dim, kernel_size=3, seqlens=self.seqlens,
+            use_bias=True, groups=1, name="conv",
+        )(x)
+        act_conv = nn.silu(conv_out)
+        q = nn.Dense(qk_dim, use_bias=self.use_bias, name="q")(act_conv)
+        k = nn.Dense(qk_dim, use_bias=self.use_bias, name="k")(act_conv)
+        v = nn.Dense(v_dim, use_bias=self.use_bias, name="v")(x)
+        o_preact = nn.Dense(v_dim, use_bias=self.use_bias, name="ogate_preact")(x)
+        i_preact = soft_cap(
+            nn.Dense(NH, use_bias=True, name="igate_preact")(x), self.gate_soft_cap)
+        f_preact = soft_cap(
+            nn.Dense(NH, use_bias=True, name="fgate_preact")(x), self.gate_soft_cap)
+
+        def heads(t):  # (B, S, NH*dh) -> (B, NH, S, dh)
+            return t.reshape(B, S, NH, -1).transpose(0, 2, 1, 3)
+
+        backend = ops_backend.make_backend(ops_backend.mLSTMBackendConfig(
+            chunkwise_kernel=self.chunkwise_kernel,
+            mode="train" if self.training else "train_with_padding",
+            chunk_size=self.chunk_size,
+        ))
+        h = backend(heads(q), heads(k), heads(v),
+                    i_preact.transpose(0, 2, 1), f_preact.transpose(0, 2, 1))
+        h = MultiHeadLayerNorm(
+            num_heads=NH, head_dim=v_dim // NH, use_weight=True,
+            use_bias=self.use_bias, name="multihead_norm",
+        )(h)
+        h = h.transpose(0, 2, 1, 3).reshape(B, S, v_dim)
+        h = h * nn.sigmoid(o_preact)
+        return nn.Dense(D, use_bias=self.use_bias, name="out_proj")(h)
+
+
+class VilLayerUpdated(nn.Module):
+    """Directional pre-norm block around MLSTMLayerVision + FFN.
+
+    Parity: ref:nn/modules/vision_lstm/mlstm_large.py:366-485
+    (mLSTMBlock wiring + the VilLayerUpdated traversal flip).
+    """
+
+    dim: int
+    num_heads: int
+    direction: str = "rowwise_from_top_left"  # or rowwise_from_bot_right
+    ffn_proj_factor: float = 2.6667
+    ffn_round_up_to: int = 64
+    seqlens: Sequence[int] | None = None
+    training: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        from xlstm_yolo_tpu.nn.layers import FeedForward, RMSNorm
+
+        flip = self.direction == "rowwise_from_bot_right"
+        if flip:
+            x = x[:, ::-1]
+        y = x + MLSTMLayerVision(
+            dim=self.dim, num_heads=self.num_heads, seqlens=self.seqlens,
+            training=self.training, name="mlstm_layer",
+        )(RMSNorm(self.dim, name="norm_mlstm")(x))
+        y = y + FeedForward(
+            dim=self.dim, proj_factor=self.ffn_proj_factor,
+            round_up_to=self.ffn_round_up_to, name="ffn",
+        )(RMSNorm(self.dim, name="norm_ffn")(y))
+        if flip:
+            y = y[:, ::-1]
+        return y
