@@ -273,5 +273,34 @@ def main():
     }))
 
 
+def _probe_worker(timeout_s: int = 300) -> bool:
+    """Tiny-matmul probe in a SUBPROCESS with a hard timeout.
+
+    A wedged remote TPU worker hangs any in-process jax init
+    indefinitely (observed 2026-08-17: >3 h); probing in a child keeps
+    this process able to report instead of hanging the driver's bench.
+    """
+    import subprocess
+    import sys
+
+    code = ("import jax.numpy as jnp; "
+            "assert float((jnp.ones((8,8))@jnp.ones((8,8))).sum())==512.0")
+    try:
+        return subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True).returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 if __name__ == "__main__":
+    if not _probe_worker():
+        print(json.dumps({
+            "metric": "e2e predict images/sec/chip @640px",
+            "value": -1.0, "unit": "img/s", "vs_baseline": -1.0,
+            "error": "TPU worker unreachable (tiny-matmul probe timed out "
+                     "after 300s) — wedged relay/worker, not a model "
+                     "regression; see docs/KNOWN_ISSUES.md",
+        }))
+        raise SystemExit(0)
     main()
