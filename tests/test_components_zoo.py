@@ -460,3 +460,39 @@ def test_mlstm_layer_vision_twins():
     a = br.apply(v, r)
     b = tl.apply(v, r[:, ::-1])[:, ::-1]
     assert float(jnp.abs(a - b).max()) < 1e-5
+
+
+def test_dw_shift9_matches_grouped_conv():
+    """shift9 depthwise 3x3 is numerically identical to the grouped-conv
+    lowering and param-compatible (same tree) — nn/blocks.py DW_IMPL."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xlstm_yolo_tpu.nn import blocks as B
+    from xlstm_yolo_tpu.nn.layers import SequenceConv2d
+
+    rng = np.random.default_rng(0)
+    x_img = jnp.asarray(rng.standard_normal((2, 16, 16, 32)), jnp.float32)
+    x_seq = jnp.asarray(rng.standard_normal((2, 64, 32)), jnp.float32)
+
+    conv = B.ConvBNAct(c2=32, k=3, g=32, fused=True, act=None)
+    seq = SequenceConv2d(dim=32)
+
+    old = B.DW_IMPL
+    try:
+        B.DW_IMPL = "grouped"
+        v1 = conv.init(jax.random.PRNGKey(0), x_img)
+        y1 = conv.apply(v1, x_img)
+        s1 = seq.init(jax.random.PRNGKey(1), x_seq)
+        z1 = seq.apply(s1, x_seq)
+        B.DW_IMPL = "shift9"
+        v2 = conv.init(jax.random.PRNGKey(0), x_img)
+        # identical param trees (names + shapes) -> cross-loadable
+        assert jax.tree.structure(v1) == jax.tree.structure(v2)
+        y2 = conv.apply(v1, x_img)  # grouped-init params through shift9
+        z2 = seq.apply(s1, x_seq)
+        assert float(jnp.abs(y1 - y2).max()) < 1e-5
+        assert float(jnp.abs(z1 - z2).max()) < 1e-5
+    finally:
+        B.DW_IMPL = old

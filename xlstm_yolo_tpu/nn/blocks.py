@@ -34,6 +34,56 @@ def autopad(k: int, p: int | None = None, d: int = 1) -> int:
     return k // 2 if p is None else p
 
 
+# Depthwise-3x3 implementation selector. XLA lowers depthwise convs
+# (feature_group_count == C) to grouped convolution, which runs on the
+# VPU; the shift9 formulation (9 shifted FMAs over padded slices) is a
+# numerically identical alternative XLA can fuse into one elementwise
+# pass. "auto" currently resolves to grouped everywhere; flip per
+# measurement (scripts/exp_dwconv.py) once the TPU comparison lands.
+import os as _os
+
+DW_IMPL = _os.environ.get("XY_DW_IMPL", "auto")
+
+
+def _dw_impl() -> str:
+    if DW_IMPL != "auto":
+        return DW_IMPL
+    return "grouped"
+
+
+class DWConv3x3Shift9(nn.Module):
+    """Stride-1 depthwise 3x3 conv as 9 shifted FMAs.
+
+    Param-compatible with ``nn.Conv(features=C, kernel_size=(3, 3),
+    feature_group_count=C)``: one ``kernel`` of shape (3, 3, 1, C)
+    (lecun-normal, flax default) and optional ``bias`` (C,), so
+    checkpoints and the torch converter see the identical tree.
+    Accumulates in f32 and casts to ``dtype`` on the way out.
+    """
+
+    features: int
+    use_bias: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        C = self.features
+        assert x.shape[-1] == C, f"depthwise needs C_in == C_out ({x.shape[-1]} vs {C})"
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), (3, 3, 1, C))
+        cd = self.dtype or x.dtype
+        xp = jnp.pad(x.astype(cd), ((0, 0), (1, 1), (1, 1), (0, 0)))
+        kd = kernel.astype(cd)
+        B, H, W, _ = x.shape
+        out = jnp.zeros((B, H, W, C), f32)
+        for dy in range(3):
+            for dx in range(3):
+                out = out + xp[:, dy : dy + H, dx : dx + W, :].astype(f32) * kd[dy, dx, 0].astype(f32)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (C,))
+            out = out + bias.astype(f32)
+        return out.astype(cd)
+
+
 class ConvBNAct(nn.Module):
     """Conv2d + BatchNorm + activation — the ultralytics ``Conv`` block.
 
@@ -57,17 +107,23 @@ class ConvBNAct(nn.Module):
     def __call__(self, x):
         assert not (self.fused and self.training), "fused conv is eval-only"
         pad = autopad(self.k, self.p, self.d)
-        y = nn.Conv(
-            self.c2,
-            (self.k, self.k),
-            strides=(self.s, self.s),
-            padding=[(pad, pad), (pad, pad)],
-            feature_group_count=self.g,
-            kernel_dilation=(self.d, self.d),
-            use_bias=self.fused,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        if (self.k == 3 and self.s == 1 and self.d == 1
+                and self.g == x.shape[-1] == self.c2
+                and _dw_impl() == "shift9"):
+            y = DWConv3x3Shift9(
+                self.c2, use_bias=self.fused, dtype=self.dtype, name="conv")(x)
+        else:
+            y = nn.Conv(
+                self.c2,
+                (self.k, self.k),
+                strides=(self.s, self.s),
+                padding=[(pad, pad), (pad, pad)],
+                feature_group_count=self.g,
+                kernel_dilation=(self.d, self.d),
+                use_bias=self.fused,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         if not self.fused:
             y = nn.BatchNorm(
                 use_running_average=not self.training,

@@ -215,6 +215,16 @@ class SequenceConv2d(nn.Module):
         out_dim = self.out_dim or self.dim
         groups = self.groups if self.groups is not None else self.dim
         xi = x.reshape(B, h, w, D)
+        if self.kernel_size == 3 and groups == D == out_dim:
+            # depthwise 3x3: route through the measured impl selector
+            # (nn/blocks.py DW_IMPL — shift9 is param-compatible)
+            from xlstm_yolo_tpu.nn import blocks as _blocks
+
+            if _blocks._dw_impl() == "shift9":
+                y = _blocks.DWConv3x3Shift9(
+                    out_dim, use_bias=self.use_bias, dtype=self.dtype,
+                    name="conv")(xi)
+                return y.reshape(B, h * w, out_dim)
         y = nn.Conv(
             out_dim,
             (self.kernel_size, self.kernel_size),
