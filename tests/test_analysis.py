@@ -40,3 +40,24 @@ def test_transfer_behavior_rows(tmp_path):
     import os
 
     assert os.path.exists(out)
+
+
+def test_check_correctness_harness(tmp_path):
+    """check_correctness twin (ref:mlstm_kernels/utils/test/checks.py:20):
+    percentiles, allclose verdicts, and diff-image artifacts."""
+    import numpy as np
+
+    from xlstm_yolo_tpu.utils.test_checks import check_correctness
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((2, 3, 16, 8))
+    out = check_correctness(base, base, name="exact", artifact_dir=tmp_path)
+    assert out["allclose"] and out["max_abs"] == 0.0 and out["frac_close"] == 1.0
+
+    noisy = base + rng.normal(scale=1e-3, size=base.shape)
+    out2 = check_correctness(noisy, base, atol=1e-5, rtol=1e-4, name="noisy",
+                             artifact_dir=tmp_path)
+    assert not out2["allclose"]
+    assert 0 < out2["p50_abs"] < out2["p90_abs"] < out2["p99_abs"] <= out2["max_abs"]
+    pngs = list(tmp_path.glob("*.png"))
+    assert len(pngs) >= 1  # diff-image artifacts rendered
