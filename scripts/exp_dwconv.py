@@ -80,12 +80,14 @@ def timeit(label, fn, shapes, dtype=bf16):
 
 
 def main():
-    # head cls-tower shapes (B8): three scales x (dw3x3 at cin, dw3x3 at c3)
+    # real flagship shapes (vil-det-192 @640, batch 8): every FPN level
+    # and the v10 cls tower run dw3x3 at 192 channels (c3 = max(192, 80));
+    # the backbone stage-1 SequenceConv2d is the 80x80x192 case.
     cases = [
-        ("head dw3x3 80x80x64", ((8, 80, 80, 64), (3, 3, 1, 64))),
-        ("head dw3x3 40x40x128", ((8, 40, 40, 128), (3, 3, 1, 128))),
-        ("head dw3x3 20x20x256", ((8, 20, 20, 256), (3, 3, 1, 256))),
-        ("backbone SeqConv2d dw3x3 80x80x192", ((8, 80, 80, 192), (3, 3, 1, 192))),
+        ("dw3x3 80x80x192 (P2 + backbone)", ((8, 80, 80, 192), (3, 3, 1, 192))),
+        ("dw3x3 40x40x192 (P3)", ((8, 40, 40, 192), (3, 3, 1, 192))),
+        ("dw3x3 20x20x192 (P4)", ((8, 20, 20, 192), (3, 3, 1, 192))),
+        ("dw3x3 10x10x192 (P5)", ((8, 10, 10, 192), (3, 3, 1, 192))),
     ]
     for name, shapes in cases:
         a = timeit(f"{name} grouped", dw_grouped, shapes)
