@@ -59,10 +59,13 @@ class AutoBackend:
                     except Exception:  # dataset yaml moved — names stay None
                         pass
         self.imgsz = int(imgsz or 640)
+        # class count must match the trained head (a 2-class checkpoint
+        # cannot load into the yaml's default nc=80 head)
+        nc = len(self.names) if self.names else None
 
         if p.suffix in {".yaml", ".yml"}:
             self.format = "yaml"
-            model, d = build_detection_model(p, compute_dtype=compute_dtype)
+            model, d = build_detection_model(p, nc=nc, compute_dtype=compute_dtype)
             img = jnp.zeros((1, self.imgsz, self.imgsz, 3), jnp.float32)
             variables = jax.jit(model.init)(jax.random.PRNGKey(0), img)
         elif p.suffix == ".pt":
@@ -72,7 +75,7 @@ class AutoBackend:
             from xlstm_yolo_tpu.utils.torch_convert import convert_torch_state_dict
 
             assert model_cfg, "torch weights need a model yaml"
-            model, d = build_detection_model(model_cfg, compute_dtype=compute_dtype)
+            model, d = build_detection_model(model_cfg, nc=nc, compute_dtype=compute_dtype)
             img = jnp.zeros((1, self.imgsz, self.imgsz, 3), jnp.float32)
             variables = jax.eval_shape(model.init, jax.random.PRNGKey(0), img)
             ckpt = torch.load(p, map_location="cpu", weights_only=False)
@@ -98,7 +101,7 @@ class AutoBackend:
                 "orbax weights need a model yaml (none found in the "
                 f"checkpoint's meta.json sidecar either: {p})"
             )
-            model, d = build_detection_model(model_cfg, compute_dtype=compute_dtype)
+            model, d = build_detection_model(model_cfg, nc=nc, compute_dtype=compute_dtype)
             tree = ocp.PyTreeCheckpointer().restore(str(p.resolve()))
             params = tree.get("ema_params") or tree.get("params")
             from xlstm_yolo_tpu.utils.quantize import dequantize_tree, is_quantized_tree
@@ -125,7 +128,7 @@ class AutoBackend:
 
                 fused_np = fuse_variables(jax.tree.map(np.asarray, variables))
                 model_f, _ = build_detection_model(
-                    model_cfg or p, compute_dtype=compute_dtype, fused=True)
+                    model_cfg or p, nc=nc, compute_dtype=compute_dtype, fused=True)
                 variables = jax.tree.map(jnp.asarray, fused_np)
                 model = model_f
             except Exception:  # model without foldable BN — keep unfused
