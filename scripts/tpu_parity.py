@@ -80,6 +80,18 @@ def main():
         print(f"{name:42s} {shape:24s} err={err:.3e} tol={tol:.0e} {'OK' if ok else 'FAIL'}",
               flush=True)
 
+    def section(fn):
+        """One kernel family; a compile/runtime error records a FAIL row
+        instead of killing the artifact (the JSON is the evidence either
+        way)."""
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001
+            msg = str(e).splitlines()[0][:200]
+            out["results"].append({"kernel": fn.__name__, "error": msg, "ok": False})
+            out["ok"] = False
+            print(f"{fn.__name__}: ERROR {msg}", flush=True)
+
     CS = 256
     # tolerances: pallas and jnp twin tile/accumulate differently on the
     # same MXU (bf16 3-pass f32), so agreement is ~1e-3 abs on O(1) data

@@ -58,6 +58,10 @@ def flax_path_to_torch_name(path: tuple[str, ...]) -> tuple[str, str]:
         if m:  # ViLFusionBlock.vil Sequential
             segs.append(f"vil.{m.group(1)}")
             continue
+        m = re.fullmatch(r"(blocks|mlp|box_mlp)_(\d+)", p)
+        if m:  # torch ModuleList/Sequential children: blocks.0, mlp.3, ...
+            segs.append(f"{m.group(1)}.{m.group(2)}")
+            continue
         if p == "in_proj_conv":
             segs.append("in_proj.0")
             continue
