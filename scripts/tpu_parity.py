@@ -97,77 +97,85 @@ def main():
     # same MXU (bf16 3-pass f32), so agreement is ~1e-3 abs on O(1) data
     TOL_FW, TOL_BW = 5e-3, 5e-2
 
-    # --- chunkwise siging v1 + v2: fw and custom-VJP grads ---
     def loss_of(fn, **kw):
         return lambda *a: (fn(*a, **kw) ** 2).sum()
 
     args = make_args(0, 2, 2, 1024, 32, 32)
     shape = "B2 NH2 S1024 DH32"
-    h_ref = np.asarray(jax.jit(
-        lambda *a: mlstm_siging_chunkwise(*a, chunk_size=CS))(*args))
-    g_ref = jax.tree.map(np.asarray, jax.jit(jax.grad(
-        loss_of(mlstm_siging_chunkwise, chunk_size=CS), argnums=(0, 1, 2)))(*args))
-    for kname in ("pallas_xl_chunk_siging", "pallas_xl_chunk_siging_v2"):
-        kern = get_mlstm_kernel(f"chunkwise--{kname}")
+
+    def chunkwise_siging():
+        h_ref = np.asarray(jax.jit(
+            lambda *a: mlstm_siging_chunkwise(*a, chunk_size=CS))(*args))
+        g_ref = jax.tree.map(np.asarray, jax.jit(jax.grad(
+            loss_of(mlstm_siging_chunkwise, chunk_size=CS), argnums=(0, 1, 2)))(*args))
+        for kname in ("pallas_xl_chunk_siging", "pallas_xl_chunk_siging_v2"):
+            kern = get_mlstm_kernel(f"chunkwise--{kname}")
+            h_tpu = np.asarray(jax.jit(
+                lambda *a, _k=kern: _k(*a, chunk_size=CS, compute_dtype=jnp.float32)
+            )(*args))
+            record(f"chunkwise--{kname} fw", shape, _err(h_tpu, h_ref), TOL_FW)
+            g_tpu = jax.tree.map(np.asarray, jax.jit(jax.grad(
+                loss_of(kern, chunk_size=CS, compute_dtype=jnp.float32),
+                argnums=(0, 1, 2)))(*args))
+            err = max(_err(a, b) for a, b in zip(g_tpu, g_ref))
+            record(f"chunkwise--{kname} dqkv", shape, err, TOL_BW)
+
+    def chunkwise_exp():
+        kern = get_mlstm_kernel("chunkwise--pallas_xl_chunk")
         h_tpu = np.asarray(jax.jit(
-            lambda *a, _k=kern: _k(*a, chunk_size=CS, compute_dtype=jnp.float32)
-        )(*args))
-        record(f"chunkwise--{kname} fw", shape, _err(h_tpu, h_ref), TOL_FW)
+            lambda *a: kern(*a, chunk_size=CS, compute_dtype=jnp.float32))(*args))
+        h_ref = np.asarray(jax.jit(
+            lambda *a: mlstm_chunkwise_stabilized(*a, chunk_size=CS))(*args))
+        record("chunkwise--pallas_xl_chunk fw", shape, _err(h_tpu, h_ref), TOL_FW)
         g_tpu = jax.tree.map(np.asarray, jax.jit(jax.grad(
-            loss_of(kern, chunk_size=CS, compute_dtype=jnp.float32),
-            argnums=(0, 1, 2)))(*args))
+            loss_of(kern, chunk_size=CS, compute_dtype=jnp.float32), argnums=(0, 1, 2)))(*args))
+        g_ref = jax.tree.map(np.asarray, jax.jit(jax.grad(
+            loss_of(mlstm_chunkwise_stabilized, chunk_size=CS), argnums=(0, 1, 2)))(*args))
         err = max(_err(a, b) for a, b in zip(g_tpu, g_ref))
-        record(f"chunkwise--{kname} dqkv", shape, err, TOL_BW)
+        record("chunkwise--pallas_xl_chunk dqkv", shape, err, TOL_BW)
 
-    # --- exp-gate chunkwise fw + grads ---
-    kern = get_mlstm_kernel("chunkwise--pallas_xl_chunk")
-    h_tpu = np.asarray(jax.jit(
-        lambda *a: kern(*a, chunk_size=CS, compute_dtype=jnp.float32))(*args))
-    h_ref = np.asarray(jax.jit(
-        lambda *a: mlstm_chunkwise_stabilized(*a, chunk_size=CS))(*args))
-    record("chunkwise--pallas_xl_chunk fw", shape, _err(h_tpu, h_ref), TOL_FW)
-    g_tpu = jax.tree.map(np.asarray, jax.jit(jax.grad(
-        loss_of(kern, chunk_size=CS, compute_dtype=jnp.float32), argnums=(0, 1, 2)))(*args))
-    g_ref = jax.tree.map(np.asarray, jax.jit(jax.grad(
-        loss_of(mlstm_chunkwise_stabilized, chunk_size=CS), argnums=(0, 1, 2)))(*args))
-    err = max(_err(a, b) for a, b in zip(g_tpu, g_ref))
-    record("chunkwise--pallas_xl_chunk dqkv", shape, err, TOL_BW)
+    def parallel_flash():
+        kern = get_mlstm_kernel("parallel--pallas_limit_headdim")
+        pargs = make_args(2, 2, 2, 512, 32, 32)
+        h_tpu = np.asarray(jax.jit(lambda *a: kern(*a))(*pargs))
+        h_ref = np.asarray(jax.jit(lambda *a: mlstm_siging_parallel(*a))(*pargs))
+        record("parallel--pallas_limit_headdim fw", "B2 NH2 S512 DH32",
+               _err(h_tpu, h_ref), TOL_FW)
 
-    # --- quadratic flash parallel ---
-    kern = get_mlstm_kernel("parallel--pallas_limit_headdim")
-    pargs = make_args(2, 2, 2, 512, 32, 32)
-    h_tpu = np.asarray(jax.jit(lambda *a: kern(*a))(*pargs))
-    h_ref = np.asarray(jax.jit(lambda *a: mlstm_siging_parallel(*a))(*pargs))
-    record("parallel--pallas_limit_headdim fw", "B2 NH2 S512 DH32", _err(h_tpu, h_ref), TOL_FW)
+    def step_fused():
+        kern = get_mlstm_kernel("step--pallas")
+        r = np.random.default_rng(3)
+        B, NH, DH = 2, 4, 32
+        q1 = jnp.asarray(r.normal(size=(B, NH, DH)), jnp.float32)
+        k1 = jnp.asarray(r.normal(size=(B, NH, DH)), jnp.float32)
+        v1 = jnp.asarray(r.normal(size=(B, NH, DH)), jnp.float32)
+        i1 = jnp.asarray(r.normal(size=(B, NH)), jnp.float32)
+        f1 = jnp.asarray(r.normal(size=(B, NH)) + 3.0, jnp.float32)
+        C0 = jnp.asarray(r.normal(size=(B, NH, DH, DH)) * 0.1, jnp.float32)
+        n0 = jnp.asarray(np.abs(r.normal(size=(B, NH, DH))) + 0.5, jnp.float32)
+        h_tpu, (C_t, n_t) = jax.tree.map(
+            np.asarray, jax.jit(kern)(q1, k1, v1, i1, f1, C0, n0))
+        h_ref, (C_r, n_r) = jax.tree.map(
+            np.asarray, jax.jit(mlstm_siging_step)(q1, k1, v1, i1, f1, C0, n0))
+        err = max(_err(h_tpu, h_ref), _err(C_t, C_r), _err(n_t, n_r))
+        record("step--pallas fw+state", "B2 NH4 DH32", err, TOL_FW)
 
-    # --- fused recurrent step ---
-    kern = get_mlstm_kernel("step--pallas")
-    r = np.random.default_rng(3)
-    B, NH, DH = 2, 4, 32
-    q1 = jnp.asarray(r.normal(size=(B, NH, DH)), jnp.float32)
-    k1 = jnp.asarray(r.normal(size=(B, NH, DH)), jnp.float32)
-    v1 = jnp.asarray(r.normal(size=(B, NH, DH)), jnp.float32)
-    i1 = jnp.asarray(r.normal(size=(B, NH)), jnp.float32)
-    f1 = jnp.asarray(r.normal(size=(B, NH)) + 3.0, jnp.float32)
-    C0 = jnp.asarray(r.normal(size=(B, NH, DH, DH)) * 0.1, jnp.float32)
-    n0 = jnp.asarray(np.abs(r.normal(size=(B, NH, DH))) + 0.5, jnp.float32)
-    h_tpu, (C_t, n_t) = jax.tree.map(np.asarray, jax.jit(kern)(q1, k1, v1, i1, f1, C0, n0))
-    h_ref, (C_r, n_r) = jax.tree.map(
-        np.asarray, jax.jit(mlstm_siging_step)(q1, k1, v1, i1, f1, C0, n0))
-    err = max(_err(h_tpu, h_ref), _err(C_t, C_r), _err(n_t, n_r))
-    record("step--pallas fw+state", "B2 NH4 DH32", err, TOL_FW)
+    def slstm_sequence():
+        from xlstm_yolo_tpu.nn.xlstm import sLSTMCell
 
-    # --- fused sLSTM sequence ---
-    from xlstm_yolo_tpu.nn.xlstm import sLSTMCell
+        r = np.random.default_rng(4)
+        x = jnp.asarray(r.normal(size=(2, 24, 32)), jnp.float32)
+        cell_s = sLSTMCell(dim=32, num_heads=4)
+        variables = jax.jit(cell_s.init)(jax.random.PRNGKey(0), x)
+        cell_p = sLSTMCell(dim=32, num_heads=4, backend="pallas")
+        y_p, st_p = jax.tree.map(np.asarray, jax.jit(cell_p.apply)(variables, x))
+        y_s, st_s = jax.tree.map(np.asarray, jax.jit(cell_s.apply)(variables, x))
+        err = max(_err(y_p, y_s), *(map(_err, st_p, st_s)))
+        record("slstm--pallas sequence", "B2 S24 D32 NH4", err, TOL_FW)
 
-    x = jnp.asarray(r.normal(size=(2, 24, 32)), jnp.float32)
-    cell_s = sLSTMCell(dim=32, num_heads=4)
-    variables = jax.jit(cell_s.init)(jax.random.PRNGKey(0), x)
-    cell_p = sLSTMCell(dim=32, num_heads=4, backend="pallas")
-    y_p, st_p = jax.tree.map(np.asarray, jax.jit(cell_p.apply)(variables, x))
-    y_s, st_s = jax.tree.map(np.asarray, jax.jit(cell_s.apply)(variables, x))
-    err = max(_err(y_p, y_s), *(map(_err, st_p, st_s)))
-    record("slstm--pallas sequence", "B2 S24 D32 NH4", err, TOL_FW)
+    for fam in (chunkwise_siging, chunkwise_exp, parallel_flash,
+                step_fused, slstm_sequence):
+        section(fam)
 
     (REPO / "TPU_PARITY.json").write_text(json.dumps(out, indent=1))
     print(json.dumps({"ok": out["ok"], "n": len(out["results"])}))

@@ -80,7 +80,7 @@ def _kernel(
     c_scr[...] = c_new
     n_scr[...] = n_new
     m_scr[...] = m_new
-    hs_ref[0] = h_new.astype(hs_ref.dtype)
+    hs_ref[0, 0] = h_new.astype(hs_ref.dtype)
     # final-state blocks map to the same (b,) slot every step; the
     # s = S-1 write is the one that lands (sequential grid)
     hl_ref[0] = h_new
@@ -126,14 +126,18 @@ def slstm_sequence_pallas(wx, R, state=None):
             pl.BlockSpec((1, 1, D), st2),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, D), lambda b, t: (b, t, 0)),
+            # 4D-singleton block: Mosaic requires the last-two block dims
+            # to divide (8, 128) or equal the array dims — (1, D) over a
+            # (B, S, 1, D) array satisfies that where (1, D) over
+            # (B, S, D) would not (block row 1 vs array S)
+            pl.BlockSpec((1, 1, 1, D), lambda b, t: (b, t, 0, 0)),
             pl.BlockSpec((1, 1, D), st2),
             pl.BlockSpec((1, 1, D), st2),
             pl.BlockSpec((1, 1, D), st2),
             pl.BlockSpec((1, 1, D), st2),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, S, D), wx.dtype),
+            jax.ShapeDtypeStruct((B, S, 1, D), wx.dtype),
             jax.ShapeDtypeStruct((B, 1, D), f32),
             jax.ShapeDtypeStruct((B, 1, D), f32),
             jax.ShapeDtypeStruct((B, 1, D), f32),
@@ -144,4 +148,4 @@ def slstm_sequence_pallas(wx, R, state=None):
     )(wxf, R_bd, *flat)
     hs, hl, cl, nl, ml = out
     last = tuple(s.reshape(B, NH, DH) for s in (hl, cl, nl, ml))
-    return hs, last
+    return hs.reshape(B, S, D), last
