@@ -80,6 +80,17 @@ def timeit(label, fn, shapes, dtype=bf16):
 
 
 def main():
+    # Warm the SESSION first: the first timed program after worker spin-up
+    # absorbs a multi-second one-off (observed 1663 ms/iter for a 0.6 ms
+    # kernel on 2026-08-18; block_until_ready returns early through the
+    # relay so the per-case warmup call does not cover it). Measured
+    # conclusion (v5e, warmed): grouped 0.58 vs shift9 0.64 ms at
+    # 80x80x192, equal at smaller levels — all dispatch-bound (~0.46 ms
+    # floor); DW_IMPL stays "grouped".
+    x = jnp.ones((256, 256), bf16)
+    for _ in range(3):
+        float((x @ x).sum())
+
     # real flagship shapes (vil-det-192 @640, batch 8): every FPN level
     # and the v10 cls tower run dw3x3 at 192 channels (c3 = max(192, 80));
     # the backbone stage-1 SequenceConv2d is the 80x80x192 case.
