@@ -1,0 +1,105 @@
+"""Tensor-parallel ('model' axis) train-step tests on the CPU mesh.
+
+Exercises the 2D ('data', 'model') mesh path that __graft_entry__'s
+dryrun uses: column/row-parallel ViL projections
+(parallel/mesh.py:_COL_PARALLEL/_ROW_PARALLEL) with XLA-inserted
+collectives.  The reference has no tensor parallelism (DDP only,
+ref:engine/trainer.py:174-233) — this is the TPU-native extension, so
+correctness is asserted against the pure data-parallel run of the same
+step rather than against torch.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from xlstm_yolo_tpu.parallel import mesh as mesh_lib
+
+TINY = "xlstm_yolo_tpu/cfg/models/vil-det-tiny.yaml"
+
+
+def _one_step(n_data: int, n_model: int):
+    from xlstm_yolo_tpu.engine import optimizers as opt_lib
+    from xlstm_yolo_tpu.engine.steps import TrainState, make_train_step
+    from xlstm_yolo_tpu.nn.tasks import build_detection_model
+
+    mesh = mesh_lib.make_mesh(n_data=n_data, n_model=n_model)
+    model, d = build_detection_model(TINY, training=True)
+    B, M = 8, 8  # divisible by the 'data' extent of both mesh shapes
+    batch = {
+        "img": jnp.linspace(0, 1, B * 160 * 160 * 3, dtype=jnp.float32)
+        .reshape(B, 160, 160, 3),
+        "cls": jnp.zeros((B, M), jnp.int32),
+        "bboxes": jnp.tile(jnp.asarray([10.0, 10.0, 80.0, 90.0]), (B, M, 1)),
+        "mask": jnp.ones((B, M), bool).at[:, 4:].set(False),
+    }
+    rng = jax.random.PRNGKey(0)
+    variables = jax.jit(model.init)({"params": rng, "droppath": rng}, batch["img"])
+    tx, _, _ = opt_lib.build_optimizer(
+        variables["params"], name="AdEMAMix", lr=1e-3, iterations=10,
+        nc=d.get("nc", 80),
+    )
+    state = TrainState.create(variables, tx)
+
+    param_sh = mesh_lib.make_param_shardings(mesh, state.params)
+    state = state.replace(
+        params=jax.device_put(state.params, param_sh),
+        ema=state.ema._replace(params=jax.device_put(state.ema.params, param_sh)),
+    )
+    batch = jax.device_put(batch, mesh_lib.make_batch_sharding(mesh, batch))
+    step = jax.jit(make_train_step(model, tx, nc=d.get("nc", 80)))
+    with mesh:
+        new_state, metrics = step(state, batch, rng)
+        jax.block_until_ready(new_state.params)
+    return mesh, param_sh, new_state, float(metrics["loss"])
+
+
+@pytest.mark.slow
+def test_tp_train_step_matches_dp():
+    """4x2 (data x model) one-step loss == 8x1 pure-DP loss."""
+    _, sh_tp, state_tp, loss_tp = _one_step(4, 2)
+    _, _, state_dp, loss_dp = _one_step(8, 1)
+    assert loss_tp == pytest.approx(loss_dp, rel=2e-4), (loss_tp, loss_dp)
+
+    # updated params agree too (not just the scalar loss)
+    p_tp = jax.tree.leaves(jax.device_get(state_tp.params))
+    p_dp = jax.tree.leaves(jax.device_get(state_dp.params))
+    worst = max(
+        float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))))
+        for a, b in zip(p_tp, p_dp)
+    )
+    assert worst < 5e-3, f"max param divergence {worst}"
+
+    # the 'model' axis must actually shard something: at least one ViL
+    # projection kernel carries a non-replicated PartitionSpec
+    specs = [s.spec for s in jax.tree.leaves(sh_tp)]
+    n_sharded = sum(1 for s in specs if any(ax is not None for ax in s))
+    assert n_sharded > 0, "tensor-parallel pspecs are all replicated"
+
+
+def test_param_pspec_rules():
+    """Column/row-parallel rules map the ViL projection names correctly."""
+    import numpy as np
+
+    col = mesh_lib.param_pspec(
+        (jax.tree_util.DictKey("proj_up"), jax.tree_util.DictKey("kernel")),
+        np.zeros((16, 32)), 2,
+    )
+    row = mesh_lib.param_pspec(
+        (jax.tree_util.DictKey("proj_down"), jax.tree_util.DictKey("kernel")),
+        np.zeros((32, 16)), 2,
+    )
+    other = mesh_lib.param_pspec(
+        (jax.tree_util.DictKey("conv"), jax.tree_util.DictKey("kernel")),
+        np.zeros((3, 3, 1, 16)), 2,
+    )
+    odd = mesh_lib.param_pspec(  # indivisible feature dim stays replicated
+        (jax.tree_util.DictKey("proj_up"), jax.tree_util.DictKey("kernel")),
+        np.zeros((16, 33)), 2,
+    )
+    from jax.sharding import PartitionSpec as P
+
+    assert col == P(None, mesh_lib.MODEL_AXIS)
+    assert row == P(mesh_lib.MODEL_AXIS, None)
+    assert other == P()
+    assert odd == P()
