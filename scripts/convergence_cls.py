@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Classification training-improves-accuracy artifact (completes the
+convergence set for all five task families — detect/segment/pose/obb
+via the sibling convergence_*.py scripts).
+
+Trains the tiny 160px ViL classifier on a synthetic 3-class shape
+dataset (circle / square / triangle on noisy backgrounds), validating
+top-1/top-5 accuracy every epoch via ClassificationValidator, and
+writes:
+- runs/classify/convergence/results.csv
+- docs/CONVERGENCE_CLS.md
+
+Exit criterion: final top-1 > 0.9 and final fitness > first.
+Run: python scripts/convergence_cls.py [--epochs 40]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import random
+import shutil
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import cv2  # noqa: E402
+
+
+def write_dataset(root: Path, n_per_class_train=24, n_per_class_val=8, size=160):
+    rng = random.Random(0)
+    classes = ("circle", "square", "triangle")
+    for split, n in (("train", n_per_class_train), ("val", n_per_class_val)):
+        for c in classes:
+            (root / split / c).mkdir(parents=True, exist_ok=True)
+        for ci, c in enumerate(classes):
+            for i in range(n):
+                img = np.full((size, size, 3), 80, np.uint8)
+                img = cv2.add(img, np.random.default_rng(ci * 1000 + i).integers(
+                    0, 30, (size, size, 3), np.uint8))
+                cx, cy = rng.randint(50, size - 50), rng.randint(50, size - 50)
+                r = rng.randint(18, 38)
+                color = (rng.randint(80, 255), rng.randint(80, 255), rng.randint(80, 255))
+                if c == "circle":
+                    cv2.circle(img, (cx, cy), r, color, -1)
+                elif c == "square":
+                    cv2.rectangle(img, (cx - r, cy - r), (cx + r, cy + r), color, -1)
+                else:
+                    pts = np.array([[cx, cy - r], [cx + r, cy + r], [cx - r, cy + r]])
+                    cv2.fillPoly(img, [pts.astype(np.int32)], color)
+                cv2.imwrite(str(root / split / c / f"{i:03d}.jpg"), img)
+    return root
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=40)
+    args = ap.parse_args()
+
+    from xlstm_yolo_tpu.engine.trainer import DetectionTrainer
+
+    ds_root = Path("/tmp/convergence_cls_ds")
+    if ds_root.exists():
+        shutil.rmtree(ds_root)
+    write_dataset(ds_root)
+    run_dir = REPO / "runs" / "classify" / "convergence"
+    if run_dir.exists():
+        shutil.rmtree(run_dir)
+
+    cfg = str(REPO / "xlstm_yolo_tpu/cfg/models/vil-cls-tiny.yaml")
+    tr = DetectionTrainer(overrides={
+        "task": "classify",
+        "model": cfg,
+        "data": str(ds_root),
+        "imgsz": 160, "epochs": args.epochs, "batch": 8, "workers": 4,
+        "optimizer": "AdamW", "lr0": 1e-3, "lrf": 0.1,
+        "amp": False, "project": str(REPO / "runs" / "classify"),
+        "name": "convergence", "exist_ok": True,
+        "val": True, "plots": False, "patience": 1000,
+    }, model_cfg=cfg)
+    tr.train()
+
+    rows = list(csv.DictReader(open(tr.csv_path)))
+    f0 = float(rows[0].get("fitness") or 0)
+    f1 = float(rows[-1].get("fitness") or 0)
+    m_key = "metrics/accuracy_top1"
+    top1 = float(rows[-1].get(m_key) or 0)
+
+    lines = [
+        "# Classification convergence artifact (round 3)",
+        "",
+        f"Tiny 160px ViL classifier, synthetic 3-class shape set, {args.epochs}",
+        "epochs, AdamW 1e-3, CPU run via `python scripts/convergence_cls.py`.",
+        "Full log: `runs/classify/convergence/results.csv` (committed).",
+        "",
+        "| epoch | loss | top-1 | top-5 | fitness |",
+        "|---|---|---|---|---|",
+    ]
+    show = [r for i, r in enumerate(rows) if i % max(1, len(rows) // 15) == 0]
+    if rows and rows[-1] not in show:
+        show.append(rows[-1])
+    for r in show:
+        lines.append(
+            f"| {r['epoch']} | {float(r.get('loss') or 0):.3f} "
+            f"| {float(r.get(m_key) or 0):.4f} "
+            f"| {float(r.get('metrics/accuracy_top5') or 0):.4f} "
+            f"| {float(r.get('fitness') or 0):.4f} |")
+    verdict = "PASS" if (f1 > f0 and top1 > 0.9) else "FAIL"
+    lines += ["", f"**Exit criterion** (final fitness > first and top-1 > 0.9): "
+                  f"**{verdict}** (fitness {f0:.4f} -> {f1:.4f}, final top-1 {top1:.4f})"]
+    (REPO / "docs" / "CONVERGENCE_CLS.md").write_text("\n".join(lines) + "\n")
+    print("\n".join(lines[-3:]))
+
+
+if __name__ == "__main__":
+    main()
