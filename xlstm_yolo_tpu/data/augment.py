@@ -224,6 +224,93 @@ class RandomHSV:
 
 
 @dataclass
+class ClassifyAugment:
+    """Classification train-time augmentation (parity:
+    ref:data/augment.py:2405 ``classify_augmentations`` — torchvision
+    RandomResizedCrop + H/V flips + ColorJitter + RandomErasing —
+    re-implemented with numpy/cv2 on host workers).  The optional
+    torchvision ``auto_augment`` policies (randaugment/augmix/
+    autoaugment) are intentionally not replicated; the color jitter is
+    expressed as the repo's LUT RandomHSV, matching the reference's
+    hsv_h/s/v parameterization of ColorJitter.
+
+    Operates on uint8 BGR HWC of any size; returns (size, size, 3).
+    """
+
+    size: int = 224
+    scale: tuple = (0.08, 1.0)  # RandomResizedCrop area fraction range
+    ratio: tuple = (3.0 / 4.0, 4.0 / 3.0)  # aspect-ratio range
+    hflip: float = 0.5
+    vflip: float = 0.0
+    hsv_h: float = 0.015
+    hsv_s: float = 0.4
+    hsv_v: float = 0.4
+    erasing: float = 0.0  # probability of one erased rectangle
+
+    def __post_init__(self):
+        self._hsv = RandomHSV(self.hsv_h, self.hsv_s, self.hsv_v)
+
+    # torchvision RandomResizedCrop.get_params semantics: 10 attempts of
+    # (area-scale, log-uniform ratio) sampling, then a ratio-clamped
+    # center-crop fallback.
+    def _resized_crop(self, img: np.ndarray, rng: random.Random) -> np.ndarray:
+        h, w = img.shape[:2]
+        area = h * w
+        log_r = (math.log(self.ratio[0]), math.log(self.ratio[1]))
+        for _ in range(10):
+            target = area * rng.uniform(*self.scale)
+            ar = math.exp(rng.uniform(*log_r))
+            cw = round(math.sqrt(target * ar))
+            ch = round(math.sqrt(target / ar))
+            if 0 < cw <= w and 0 < ch <= h:
+                top = rng.randint(0, h - ch)
+                left = rng.randint(0, w - cw)
+                crop = img[top : top + ch, left : left + cw]
+                return cv2.resize(crop, (self.size, self.size),
+                                  interpolation=cv2.INTER_LINEAR)
+        in_ratio = w / h
+        if in_ratio < self.ratio[0]:
+            cw, ch = w, round(w / self.ratio[0])
+        elif in_ratio > self.ratio[1]:
+            cw, ch = round(h * self.ratio[1]), h
+        else:
+            cw, ch = w, h
+        top, left = (h - ch) // 2, (w - cw) // 2
+        crop = img[top : top + ch, left : left + cw]
+        return cv2.resize(crop, (self.size, self.size),
+                          interpolation=cv2.INTER_LINEAR)
+
+    # torchvision RandomErasing(value=0) semantics: 10 attempts of
+    # (area-scale in [0.02, 0.33], log-uniform ratio in [0.3, 3.3]).
+    def _erase(self, img: np.ndarray, rng: random.Random) -> np.ndarray:
+        h, w = img.shape[:2]
+        area = h * w
+        for _ in range(10):
+            target = area * rng.uniform(0.02, 0.33)
+            ar = math.exp(rng.uniform(math.log(0.3), math.log(3.3)))
+            ew = round(math.sqrt(target * ar))
+            eh = round(math.sqrt(target / ar))
+            if 0 < ew < w and 0 < eh < h:
+                top = rng.randint(0, h - eh)
+                left = rng.randint(0, w - ew)
+                img = img.copy()
+                img[top : top + eh, left : left + ew] = 0
+                return img
+        return img
+
+    def __call__(self, img: np.ndarray, rng: random.Random) -> np.ndarray:
+        img = self._resized_crop(img, rng)
+        if self.hflip > 0.0 and rng.random() < self.hflip:
+            img = np.ascontiguousarray(img[:, ::-1])
+        if self.vflip > 0.0 and rng.random() < self.vflip:
+            img = np.ascontiguousarray(img[::-1])
+        img = self._hsv(np.ascontiguousarray(img), rng)
+        if self.erasing > 0.0 and rng.random() < self.erasing:
+            img = self._erase(img, rng)
+        return img
+
+
+@dataclass
 class RandomFlip:
     """Horizontal/vertical flip of image + instances (parity:
     augment.py:1385-1477, incl. the keypoint ``flip_idx`` left/right

@@ -449,17 +449,39 @@ class YOLODataset:
 class ClassificationDataset:
     """ImageNet-style folder dataset: root/<class_name>/*.jpg.
 
-    Parity: ref:data/dataset.py ClassificationDataset (torchvision
-    ImageFolder semantics).  Val transform: aspect-preserving resize of
-    the short side to imgsz then center crop; train adds horizontal
-    flip (the reference's RandomResizedCrop scale jitter is a planned
-    extension).  Serves uint8 RGB HWC.
+    Parity: ref:data/dataset.py:415-459 ClassificationDataset
+    (torchvision ImageFolder semantics).  Val transform: aspect-
+    preserving resize of the short side to floor(imgsz/crop_fraction)
+    then center crop (ref:data/augment.py:2348 classify_transforms).
+    Train transform: ClassifyAugment — RandomResizedCrop with
+    scale=(1-hyp.scale, 1.0), H/V flips from fliplr/flipud, HSV color
+    jitter, random erasing (ref:data/augment.py:2405
+    classify_augmentations; the reference wires the same hyp keys at
+    ref:data/dataset.py:445-456).  Serves uint8 RGB HWC.
     """
 
-    def __init__(self, root: str, imgsz: int = 224, augment: bool = False):
+    def __init__(self, root: str, imgsz: int = 224, augment: bool = False,
+                 hyp=None):
         self.root = Path(root)
         self.imgsz = imgsz
         self.augment = augment
+        self.crop_fraction = float(getattr(hyp, "crop_fraction", 1.0) or 1.0)
+        if augment:
+            from xlstm_yolo_tpu.data.augment import ClassifyAugment
+
+            g = lambda k, d: float(getattr(hyp, k, d) if hyp is not None else d)
+            self.transform = ClassifyAugment(
+                size=imgsz,
+                scale=(1.0 - g("scale", 0.5), 1.0),
+                hflip=g("fliplr", 0.5),
+                vflip=g("flipud", 0.0),
+                hsv_h=g("hsv_h", 0.015),
+                hsv_s=g("hsv_s", 0.4),
+                hsv_v=g("hsv_v", 0.4),
+                erasing=g("erasing", 0.0),
+            )
+        else:
+            self.transform = None
         classes = sorted(d.name for d in self.root.iterdir() if d.is_dir())
         if not classes:
             raise FileNotFoundError(f"no class folders under {root}")
@@ -480,15 +502,17 @@ class ClassificationDataset:
         im = cv2.imread(path)
         if im is None:
             raise FileNotFoundError(path)
-        h, w = im.shape[:2]
-        s = self.imgsz / min(h, w)
-        im = cv2.resize(im, (max(self.imgsz, round(w * s)), max(self.imgsz, round(h * s))),
-                        interpolation=cv2.INTER_LINEAR)
-        h, w = im.shape[:2]
-        top, left = (h - self.imgsz) // 2, (w - self.imgsz) // 2
-        im = im[top : top + self.imgsz, left : left + self.imgsz]
-        if self.augment and rng.random() < 0.5:
-            im = im[:, ::-1]
+        if self.transform is not None:
+            im = self.transform(im, rng)
+        else:
+            h, w = im.shape[:2]
+            scale_size = int(self.imgsz / self.crop_fraction)
+            s = scale_size / min(h, w)
+            im = cv2.resize(im, (max(scale_size, round(w * s)), max(scale_size, round(h * s))),
+                            interpolation=cv2.INTER_LINEAR)
+            h, w = im.shape[:2]
+            top, left = (h - self.imgsz) // 2, (w - self.imgsz) // 2
+            im = im[top : top + self.imgsz, left : left + self.imgsz]
         return {"img": np.ascontiguousarray(im[..., ::-1]), "cls": label, "im_file": path}
 
     @staticmethod

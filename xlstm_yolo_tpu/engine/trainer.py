@@ -163,7 +163,7 @@ class DetectionTrainer:
             from xlstm_yolo_tpu.data.dataset import ClassificationDataset
 
             trainset = ClassificationDataset(
-                data["train"], imgsz=imgsz, augment=True
+                data["train"], imgsz=imgsz, augment=True, hyp=args
             )
         else:
             trainset = build_yolo_dataset(args, data["train"], batch, data, mode="train")

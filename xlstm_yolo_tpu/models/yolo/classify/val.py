@@ -27,7 +27,8 @@ class ClassificationValidator:
 
         split = self.args.split or "val"
         dataset = ClassificationDataset(
-            str(Path(self.data_path) / split), imgsz=int(self.args.imgsz)
+            str(Path(self.data_path) / split), imgsz=int(self.args.imgsz),
+            hyp=self.args,
         )
         loader = build_dataloader(
             dataset, bs, workers=int(self.args.workers or 8), shuffle=False,
