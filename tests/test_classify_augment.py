@@ -94,3 +94,7 @@ def test_dataset_train_and_val_paths(tmp_path):
     v = val.get_sample(0, random.Random(0))
     assert v["img"].shape == (96, 96, 3)
     assert val.crop_fraction == pytest.approx(0.9)
+
+    # fraction keeps at least one sample per class
+    frac = ClassificationDataset(str(tmp_path), imgsz=96, fraction=0.5)
+    assert len(frac) == 2 and {s[1] for s in frac.samples} == {0, 1}

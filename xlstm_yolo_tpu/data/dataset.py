@@ -461,10 +461,11 @@ class ClassificationDataset:
     """
 
     def __init__(self, root: str, imgsz: int = 224, augment: bool = False,
-                 hyp=None):
+                 hyp=None, fraction: float = 1.0):
         self.root = Path(root)
         self.imgsz = imgsz
         self.augment = augment
+        self.fraction = float(fraction)
         self.crop_fraction = float(getattr(hyp, "crop_fraction", 1.0) or 1.0)
         if augment:
             from xlstm_yolo_tpu.data.augment import ClassifyAugment
@@ -493,6 +494,16 @@ class ClassificationDataset:
             for f in sorted((self.root / c).rglob("*.*"))
             if f.suffix.lower() in IMG_EXTS
         ]
+        if self.fraction < 1.0:
+            # per-class truncation so a small fraction keeps every class
+            # (ref:data/dataset.py fraction arg)
+            by_cls: dict[int, list] = {}
+            for s in self.samples:
+                by_cls.setdefault(s[1], []).append(s)
+            self.samples = [
+                s for lst in by_cls.values()
+                for s in lst[: max(1, int(len(lst) * self.fraction))]
+            ]
 
     def __len__(self):
         return len(self.samples)

@@ -163,7 +163,8 @@ class DetectionTrainer:
             from xlstm_yolo_tpu.data.dataset import ClassificationDataset
 
             trainset = ClassificationDataset(
-                data["train"], imgsz=imgsz, augment=True, hyp=args
+                data["train"], imgsz=imgsz, augment=True, hyp=args,
+                fraction=float(getattr(args, "fraction", 1.0) or 1.0),
             )
         else:
             trainset = build_yolo_dataset(args, data["train"], batch, data, mode="train")
