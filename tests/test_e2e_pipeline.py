@@ -397,6 +397,39 @@ def test_int8_ptq_export_roundtrip(tmp_path):
     assert np.abs(np.sort(y_q[..., 4], -1) - np.sort(y_ref[..., 4], -1)).max() < 0.2
 
 
+@pytest.mark.slow
+def test_tflite_export_roundtrip(tmp_path):
+    """tflite export (jax2tf + flex ops) -> AutoBackend TF interpreter:
+    outputs match the jitted flax forward."""
+    from types import SimpleNamespace
+
+    import jax
+    import jax.numpy as jnp
+
+    pytest.importorskip("tensorflow")
+    from xlstm_yolo_tpu.engine.exporter import Exporter
+    from xlstm_yolo_tpu.nn.autobackend import AutoBackend
+    from xlstm_yolo_tpu.nn.tasks import build_detection_model
+
+    cfg = "xlstm_yolo_tpu/cfg/models/vil-det-tiny.yaml"
+    model, _ = build_detection_model(cfg, training=False)
+    img = jnp.zeros((1, 96, 96, 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), img)
+
+    args = SimpleNamespace(format="tflite", imgsz=96, batch=1)
+    path = Exporter(args)(
+        {"model": model, "variables": variables}, out_dir=tmp_path)
+    assert Path(path).suffix == ".tflite"
+    ab = AutoBackend(path, imgsz=96)
+    assert ab.format == "tflite"
+
+    u8 = np.random.default_rng(0).integers(0, 255, (1, 96, 96, 3), np.uint8)
+    y_ref = np.asarray(model.apply(variables, jnp.asarray(u8, jnp.float32) / 255.0)[0])
+    y_tfl = np.asarray(ab.forward(u8))
+    assert y_tfl.shape == y_ref.shape
+    assert np.abs(y_tfl - y_ref).max() < 0.05
+
+
 def test_throughput_engine_scan_parity():
     """ThroughputEngine yields the same results as per-batch predict."""
     import jax.numpy as jnp

@@ -1,11 +1,12 @@
-"""Model export: StableHLO, orbax params, TF SavedModel (when available).
+"""Model export: StableHLO, orbax params, TF SavedModel, TFLite.
 
 TPU-native re-design of ref:ultralytics/engine/exporter.py:207-1300:
 where the reference fans out to ONNX/TensorRT/CoreML/TFLite..., the XLA
 deployment story is (a) a serialized StableHLO program (jax.export) that
 any PJRT runtime can load, (b) an orbax params checkpoint, (c) a TF
-SavedModel via jax2tf when tensorflow is importable.  Metadata (names,
-imgsz, nc) is embedded as JSON next to the artifact.
+SavedModel and (d) a TFLite flatbuffer via jax2tf when tensorflow is
+importable.  Metadata (names, imgsz, nc) is embedded as JSON next to
+the artifact.
 """
 
 from __future__ import annotations
@@ -24,6 +25,7 @@ FORMATS = {
     "orbax": ("_orbax", "orbax params checkpoint"),
     "orbax_int8": ("_orbax_int8", "orbax checkpoint, int8 weight-only PTQ"),
     "savedmodel": ("_saved_model", "TF SavedModel via jax2tf"),
+    "tflite": (".tflite", "TFLite flatbuffer via jax2tf (flex ops)"),
 }
 
 
@@ -103,6 +105,32 @@ class Exporter:
             mod.f = tf_fn
             path = out_dir / "saved_model"
             tf.saved_model.save(mod, str(path))
+        elif fmt == "tflite":
+            # parity: ref:engine/exporter.py TFLite path — the XLA route
+            # is jax2tf -> TFLiteConverter with SELECT_TF_OPS so the
+            # jax2tf-native XlaCallModule op rides the flex delegate
+            # bundled in the full tensorflow package's Interpreter.
+            try:
+                import tensorflow as tf
+                from jax.experimental import jax2tf
+            except ImportError as e:
+                raise RuntimeError(
+                    "tflite export requires tensorflow (not in this env); "
+                    "use format='stablehlo' instead"
+                ) from e
+            tf_fn = tf.function(
+                jax2tf.convert(forward, with_gradient=False),
+                input_signature=[tf.TensorSpec((batch, imgsz, imgsz, 3), tf.uint8)],
+                autograph=False,
+            )
+            conv = tf.lite.TFLiteConverter.from_concrete_functions(
+                [tf_fn.get_concrete_function()])
+            conv.target_spec.supported_ops = [
+                tf.lite.OpsSet.TFLITE_BUILTINS,
+                tf.lite.OpsSet.SELECT_TF_OPS,
+            ]
+            path = out_dir / "model.tflite"
+            path.write_bytes(conv.convert())
 
         (out_dir / "metadata.json").write_text(json.dumps(meta, indent=2))
         print(f"export: {fmt} -> {path} ({time.time() - t0:.1f}s)")

@@ -93,6 +93,23 @@ class AutoBackend:
             self._fn = load_stablehlo(p)
             self._jit = self._fn
             return
+        elif p.suffix == ".tflite":
+            self.format = "tflite"
+            import tensorflow as tf  # full package bundles the flex delegate
+
+            interp = tf.lite.Interpreter(model_path=str(p))
+            interp.allocate_tensors()
+            inp = interp.get_input_details()[0]
+            out = interp.get_output_details()[0]
+
+            def tflite_fn(img_u8):
+                interp.set_tensor(inp["index"], np.asarray(img_u8, np.uint8))
+                interp.invoke()
+                return jnp.asarray(interp.get_tensor(out["index"]))
+
+            self._fn = tflite_fn
+            self._jit = tflite_fn
+            return
         elif p.is_dir():
             self.format = "orbax"
             import orbax.checkpoint as ocp

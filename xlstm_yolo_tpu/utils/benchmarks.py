@@ -37,7 +37,7 @@ def measure_throughput(fn: Callable, make_input: Callable, iters: int = 16,
 
 
 def benchmark(model, imgsz: int = 640, batch: int = 8,
-              formats=("jit", "stablehlo", "orbax", "orbax_int8"),
+              formats=("jit", "stablehlo", "orbax", "orbax_int8", "tflite"),
               data=None, verbose=True, out_dir=None):
     """Speed (+optional accuracy) table across export formats.
 
@@ -100,7 +100,10 @@ def benchmark(model, imgsz: int = 640, batch: int = 8,
                     ab = AutoBackend(path, model_cfg=model.model_cfg,
                                      imgsz=imgsz, fuse=False)
                     sec = measure_throughput(ab._jit, make_input)
-                    m = val_map({"model": ab.model, "variables": ab.variables})
+                    # tflite runs in the TF interpreter: no flax variables
+                    # to re-validate (same scope as stablehlo)
+                    m = None if ab.format == "tflite" else val_map(
+                        {"model": ab.model, "variables": ab.variables})
             rows.append({
                 "format": fmt, "status": "ok", "imgsz": imgsz, "batch": batch,
                 "ms/img": round(sec / batch * 1e3, 2),
