@@ -31,7 +31,7 @@ _BOOL_KEYS = {"save", "cache", "exist_ok", "pretrained", "verbose", "determinist
               "nms"}
 
 TASKS = {"detect", "segment", "pose", "obb", "classify"}
-MODES = {"train", "val", "predict", "track", "export", "benchmark"}
+MODES = {"train", "val", "predict", "track", "export", "benchmark", "tune"}
 
 
 def load_default_cfg() -> dict:

@@ -165,6 +165,24 @@ class YOLO:
 
         return benchmark(self, **kwargs)
 
+    def tune(self, data=None, use_ray: bool = False, iterations: int = 10,
+             epochs_per_iter: int = 5, save_dir: str = "runs/tune", **kwargs):
+        """Hyperparameter search (parity: ref:engine/model.py Model.tune):
+        in-process mutation evolution by default, Ray Tune ASHA with
+        ``use_ray=True`` (ref:utils/tuner.py:7)."""
+        if use_ray:
+            from xlstm_yolo_tpu.engine.tuner import run_ray_tune
+
+            return run_ray_tune(self, max_samples=iterations,
+                                **({"data": data} if data else {}), **kwargs)
+        from xlstm_yolo_tpu.engine.tuner import Tuner
+
+        args = {**self.overrides, **kwargs, "task": self.task}
+        data = data or args.pop("data", None)
+        tuner = Tuner(args, save_dir=save_dir)
+        return tuner(self.model_cfg, data, iterations=iterations,
+                     epochs_per_iter=epochs_per_iter)
+
     @property
     def info(self):
         bundle = self._get_bundle()

@@ -98,7 +98,84 @@ class Tuner:
         return best_hyp, best_fit
 
     def _log(self, history):
+        # union of keys: gen0 logs only the inherited hyps, mutated gens
+        # log the full space
+        fields = list(dict.fromkeys(k for row in history for k in row))
         with open(self.csv, "w", newline="") as fh:
-            w = csv.DictWriter(fh, fieldnames=list(history[0].keys()))
+            w = csv.DictWriter(fh, fieldnames=fields, restval="")
             w.writeheader()
             w.writerows(history)
+
+
+# -- Ray Tune integration (parity: ref:ultralytics/utils/tuner.py:7-157) --
+
+TASK2METRIC = {
+    "detect": "metrics/mAP50-95(B)",
+    "segment": "metrics/mAP50-95(M)",
+    "pose": "metrics/mAP50-95(P)",
+    "obb": "metrics/mAP50-95(B)",
+    "classify": "metrics/accuracy_top1",
+}
+
+
+def ray_tune_space():
+    """The reference's default search space as plain (low, high) bounds
+    (ref:utils/tuner.py:63-87) — converted to ``tune.uniform`` only when
+    ray is importable, so the space itself stays testable without it."""
+    return {k: (lo, hi) for k, (lo, hi, _gain) in SPACE.items()} | {
+        "warmup_momentum": (0.0, 0.95),
+        "copy_paste": (0.0, 1.0),
+    }
+
+
+def run_ray_tune(model, space: dict | None = None, grace_period: int = 10,
+                 gpu_per_trial: int | None = None, max_samples: int = 10,
+                 **train_args):
+    """Distributed hyperparameter search via Ray Tune + ASHA.
+
+    Parity: ref:ultralytics/utils/tuner.py:7 — same signature, same
+    default space, ASHA over the task metric. Ray is an optional
+    integration (not bundled in this environment); without it this
+    raises the reference's ModuleNotFoundError.
+    """
+    try:
+        import ray
+        from ray import tune
+        from ray.air import RunConfig
+        from ray.tune.schedulers import ASHAScheduler
+    except ImportError:
+        raise ModuleNotFoundError(
+            'Ray Tune required but not found. To install run: pip install "ray[tune]"'
+        )
+
+    task = getattr(model, "task", "detect")
+    space = space or {k: tune.uniform(lo, hi)
+                      for k, (lo, hi) in ray_tune_space().items()}
+    data = train_args.get("data")
+    if data:
+        space["data"] = data
+
+    model_in_store = ray.put(model)
+
+    def _tune(config):
+        m = ray.get(model_in_store)
+        config.update(train_args)
+        return m.train(**config)
+
+    trainable = tune.with_resources(
+        _tune, {"cpu": 8, "gpu": gpu_per_trial or 0})
+    scheduler = ASHAScheduler(
+        time_attr="epoch", metric=TASK2METRIC.get(task, TASK2METRIC["detect"]),
+        mode="max", max_t=train_args.get("epochs") or 100,
+        grace_period=grace_period, reduction_factor=3)
+    tune_dir = Path(train_args.pop("save_dir", "runs/tune_ray")).resolve()
+    tune_dir.mkdir(parents=True, exist_ok=True)
+    tuner = tune.Tuner(
+        trainable, param_space=space,
+        tune_config=tune.TuneConfig(scheduler=scheduler,
+                                    num_samples=max_samples),
+        run_config=RunConfig(storage_path=str(tune_dir)))
+    tuner.fit()
+    results = tuner.get_results()
+    ray.shutdown()
+    return results
