@@ -32,3 +32,29 @@ def test_native_letterbox_rgb_swap():
     out, _, (left, top) = letterbox_native(img, 128, swap_rb=True)
     center = out[64, 64]
     assert center[2] == 200 and center[0] == 0  # blue moved to last (RGB)
+
+
+@pytest.mark.skipif(get_letterbox_native() is None, reason="no C++ toolchain")
+def test_native_letterbox_batch_matches_per_image():
+    from xlstm_yolo_tpu.native import letterbox_native_batch
+
+    rng = np.random.default_rng(3)
+    imgs = [rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+            for h, w in [(48, 60), (100, 80), (64, 64), (31, 97)]]
+    batch, meta = letterbox_native_batch(imgs, 96, swap_rb=True, n_threads=3)
+    assert batch.shape == (4, 96, 96, 3) and batch.dtype == np.uint8
+    for i, im in enumerate(imgs):
+        one, r, pad = letterbox_native(im, 96, swap_rb=True)
+        np.testing.assert_array_equal(one, batch[i])
+        assert abs(meta[i][0] - r) < 1e-6 and tuple(meta[i][1]) == tuple(pad)
+
+
+@pytest.mark.skipif(get_letterbox_native() is None, reason="no C++ toolchain")
+def test_native_letterbox_batch_bad_inputs():
+    from xlstm_yolo_tpu.native import letterbox_native_batch
+
+    with pytest.raises(Exception):
+        # shape list shorter than images -> clean error, no crash
+        m = get_letterbox_native()
+        m.letterbox_batch([np.zeros((4, 4, 3), np.uint8)], [], 
+                          np.empty((1, 8, 8, 3), np.uint8), 8, 114, True, 1)

@@ -34,11 +34,18 @@ class BasePredictor:
         self.letterbox = LetterBox((self.imgsz, self.imgsz), auto=False, scaleup=True)
         self._predict_jit = jax.jit(self._forward)
         try:
-            from xlstm_yolo_tpu.native import get_letterbox_native, letterbox_native
+            from xlstm_yolo_tpu.native import (
+                get_letterbox_native,
+                letterbox_native,
+                letterbox_native_batch,
+            )
 
-            self._native_letterbox = letterbox_native if get_letterbox_native() else None
+            ok = get_letterbox_native() is not None
+            self._native_letterbox = letterbox_native if ok else None
+            self._native_letterbox_batch = letterbox_native_batch if ok else None
         except Exception:
             self._native_letterbox = None
+            self._native_letterbox_batch = None
         self.seen = 0
         self.speed = {"preprocess": 0.0, "inference": 0.0, "postprocess": 0.0}
 
@@ -64,18 +71,17 @@ class BasePredictor:
 
     # -- host stages ---------------------------------------------------------
     def preprocess(self, im_list: list[np.ndarray]):
+        if self._native_letterbox_batch is not None:
+            # fused C++ resize+pad+BGR->RGB, all frames written straight
+            # into one batch array, GIL-free across a thread pool
+            batch, meta = self._native_letterbox_batch(
+                im_list, self.imgsz, swap_rb=True)
+            return batch, [((r, r), pad) for r, pad in meta]
         out, ratios_pads = [], []
-        native = self._native_letterbox
         for im in im_list:
-            if native is not None:
-                # fused C++ resize+pad+BGR->RGB single pass
-                lb, ratio, pad = native(im, self.imgsz, swap_rb=True)
-                out.append(lb)
-                ratios_pads.append(((ratio, ratio), pad))
-            else:
-                lb, ratio, pad = self.letterbox(im)
-                out.append(lb[..., ::-1])  # BGR -> RGB
-                ratios_pads.append((ratio, pad))
+            lb, ratio, pad = self.letterbox(im)
+            out.append(lb[..., ::-1])  # BGR -> RGB
+            ratios_pads.append((ratio, pad))
         batch = np.ascontiguousarray(np.stack(out), dtype=np.uint8)
         return batch, ratios_pads
 

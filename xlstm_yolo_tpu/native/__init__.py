@@ -26,8 +26,8 @@ def _build() -> Path | None:
         return so
     inc = sysconfig.get_paths()["include"]
     cmd = [
-        "g++", "-O3", "-shared", "-fPIC", "-std=c++17", f"-I{inc}",
-        str(src), "-o", str(so),
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+        f"-I{inc}", str(src), "-o", str(so),
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -69,6 +69,31 @@ def letterbox_native(img, size: int, pad_value: int = 114, swap_rb: bool = True)
         raise RuntimeError("native letterbox unavailable (no compiler?)")
     img = np.ascontiguousarray(img, dtype=np.uint8)
     h, w = img.shape[:2]
-    out, ratio, left, top = m.letterbox(img.tobytes(), h, w, size, pad_value, swap_rb)
+    # the array itself is the buffer — no tobytes() copy
+    out, ratio, left, top = m.letterbox(img, h, w, size, pad_value, swap_rb)
     arr = np.frombuffer(out, np.uint8).reshape(size, size, 3)
     return arr, ratio, (left, top)
+
+
+def letterbox_native_batch(imgs, size: int, pad_value: int = 114,
+                           swap_rb: bool = True, n_threads: int | None = None):
+    """Batched fused letterbox: every image lands in its slice of ONE
+    preallocated (N, size, size, 3) uint8 array, GIL released across the
+    batch, images spread over a C++ thread pool.
+
+    Returns (batch array, [(ratio, (left, top)), ...]).
+    """
+    import os
+
+    import numpy as np
+
+    m = get_letterbox_native()
+    if m is None:
+        raise RuntimeError("native letterbox unavailable (no compiler?)")
+    arrs = [np.ascontiguousarray(im, dtype=np.uint8) for im in imgs]
+    hws = [a.shape[:2] for a in arrs]
+    out = np.empty((len(arrs), size, size, 3), np.uint8)
+    nt = n_threads or min(len(arrs), os.cpu_count() or 1)
+    meta = m.letterbox_batch(arrs, [tuple(map(int, hw)) for hw in hws], out,
+                             size, pad_value, swap_rb, int(nt))
+    return out, [(r, (left, top)) for r, left, top in meta]

@@ -13,6 +13,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -101,9 +102,100 @@ PyObject* py_letterbox(PyObject*, PyObject* args) {
                        pad_xy[1]);
 }
 
+// letterbox_batch(seq_of_buffers, seq_of_(h,w), out_buffer, size,
+//                 pad_value, swap_rb, n_threads) -> [(ratio, left, top), ...]
+//
+// Batched form for the predictor/validator hot loop: every image is
+// letterboxed directly into its slice of the caller's preallocated
+// (N, size, size, 3) uint8 batch array (no per-image bytes objects, no
+// stack copy), with the GIL released across the whole batch and the
+// images distributed over a worker-thread pool (one thread per core on
+// production multi-core TPU hosts).
+PyObject* py_letterbox_batch(PyObject*, PyObject* args) {
+  PyObject* seq;
+  PyObject* hw_seq;
+  Py_buffer out_buf;
+  int size, pad_value, swap_rb, n_threads;
+  if (!PyArg_ParseTuple(args, "OOw*iipi", &seq, &hw_seq, &out_buf, &size,
+                        &pad_value, &swap_rb, &n_threads)) {
+    return nullptr;
+  }
+  Py_ssize_t n = PySequence_Size(seq);
+  if (n < 0 || PySequence_Size(hw_seq) != n) {
+    PyBuffer_Release(&out_buf);
+    PyErr_SetString(PyExc_ValueError, "images and shapes length mismatch");
+    return nullptr;
+  }
+  size_t per = static_cast<size_t>(size) * size * 3;
+  if (out_buf.len < static_cast<Py_ssize_t>(per * n)) {
+    PyBuffer_Release(&out_buf);
+    PyErr_SetString(PyExc_ValueError, "output buffer smaller than N*size*size*3");
+    return nullptr;
+  }
+
+  std::vector<Py_buffer> bufs(n);
+  std::vector<int> hs(n), ws(n);
+  for (Py_ssize_t i = 0; i < n; ++i) {
+    PyObject* item = PySequence_GetItem(seq, i);
+    PyObject* hw = PySequence_GetItem(hw_seq, i);
+    int ok = item && hw &&
+             PyArg_ParseTuple(hw, "ii", &hs[i], &ws[i]) &&
+             PyObject_GetBuffer(item, &bufs[i], PyBUF_SIMPLE) == 0 &&
+             bufs[i].len >= static_cast<Py_ssize_t>(hs[i]) * ws[i] * 3;
+    Py_XDECREF(item);
+    Py_XDECREF(hw);
+    if (!ok) {
+      for (Py_ssize_t j = 0; j < i; ++j) PyBuffer_Release(&bufs[j]);
+      PyBuffer_Release(&out_buf);
+      if (!PyErr_Occurred())
+        PyErr_SetString(PyExc_ValueError, "bad image buffer or (h, w)");
+      return nullptr;
+    }
+  }
+
+  std::vector<float> ratios(n);
+  std::vector<int> pads(2 * n);
+  uint8_t* out = static_cast<uint8_t*>(out_buf.buf);
+  bool swap = swap_rb != 0;
+
+  Py_BEGIN_ALLOW_THREADS
+  int nt = std::max(1, std::min<int>(n_threads, static_cast<int>(n)));
+  auto work = [&](int t) {
+    for (Py_ssize_t i = t; i < n; i += nt) {
+      letterbox_one(static_cast<const uint8_t*>(bufs[i].buf), hs[i], ws[i],
+                    out + per * i, size, pad_value, swap, &ratios[i],
+                    &pads[2 * i]);
+    }
+  };
+  if (nt == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(nt);
+    for (int t = 0; t < nt; ++t) pool.emplace_back(work, t);
+    for (auto& th : pool) th.join();
+  }
+  Py_END_ALLOW_THREADS
+
+  for (Py_ssize_t i = 0; i < n; ++i) PyBuffer_Release(&bufs[i]);
+  PyBuffer_Release(&out_buf);
+
+  PyObject* meta = PyList_New(n);
+  if (!meta) return nullptr;
+  for (Py_ssize_t i = 0; i < n; ++i) {
+    PyList_SET_ITEM(meta, i,
+                    Py_BuildValue("(fii)", static_cast<double>(ratios[i]),
+                                  pads[2 * i], pads[2 * i + 1]));
+  }
+  return meta;
+}
+
 PyMethodDef kMethods[] = {
     {"letterbox", py_letterbox, METH_VARARGS,
      "letterbox(bytes, h, w, size, pad_value, swap_rb) -> (bytes, ratio, left, top)"},
+    {"letterbox_batch", py_letterbox_batch, METH_VARARGS,
+     "letterbox_batch(imgs, hws, out, size, pad_value, swap_rb, n_threads)"
+     " -> [(ratio, left, top), ...]"},
     {nullptr, nullptr, 0, nullptr},
 };
 
