@@ -90,9 +90,14 @@ def main():
         _, out = fwd_apply(p, bs, b["img"], key)
         return loss_from_out(out, b)
 
+    import os
+
+    only = set(filter(None, os.environ.get("DECOMP_ONLY", "").split(",")))
     results = {}
 
     def timeit(name, fn, inputs):
+        if only and name not in only:
+            return
         t0 = time.perf_counter()
         for i, x in enumerate(inputs[:WARMUP]):
             r = fn(x, i)
@@ -115,20 +120,26 @@ def main():
                                        jax.random.fold_in(rng, i)), batches)
 
     # 2. loss+assigner on precomputed head output (device-resident)
-    _, out0 = jax.jit(fwd_apply)(params, batch_stats, batches[0]["img"],
-                                 jax.random.fold_in(rng, 0))
-    out0 = jax.tree.map(jnp.asarray, out0)
-    loss_jit = jax.jit(loss_from_out)
-    timeit("loss_feats", lambda b, i: loss_jit(out0, b), batches)
+    if not only or "loss_feats" in only:
+        _, out0 = jax.jit(fwd_apply)(params, batch_stats, batches[0]["img"],
+                                     jax.random.fold_in(rng, 0))
+        out0 = jax.tree.map(jnp.asarray, out0)
+        loss_jit = jax.jit(loss_from_out)
+        timeit("loss_feats", lambda b, i: loss_jit(out0, b), batches)
 
     # 3. forward + loss (value only)
     fl_jit = jax.jit(loss_fn)
     timeit("fwd_loss", lambda b, i: fl_jit(params, batch_stats, b,
                                            jax.random.fold_in(rng, i)), batches)
 
-    # 4. value_and_grad
-    g_jit = jax.jit(lambda p, bs, b, key:
-                    jax.value_and_grad(loss_fn)(p, bs, b, key)[0])
+    # 4. value_and_grad — reduce every grad leaf into the output so XLA
+    # cannot dead-code-eliminate the backward pass
+    def grad_alive(p, bs, b, key):
+        loss, grads = jax.value_and_grad(loss_fn)(p, bs, b, key)
+        gsum = sum(jnp.sum(g.astype(jnp.float32)) for g in jax.tree.leaves(grads))
+        return loss, gsum
+
+    g_jit = jax.jit(grad_alive)
     timeit("grad", lambda b, i: g_jit(params, batch_stats, b,
                                       jax.random.fold_in(rng, i)), batches)
 
@@ -158,14 +169,15 @@ def main():
 
     timeit("full", full, batches)
 
-    results["derived"] = {
-        "bwd_ms": round(results["grad"] - results["fwd_loss"], 2),
-        "opt_ms": round(results["grad_opt"] - results["grad"], 2),
-        "ema_ms": round(results["full"] - results["grad_opt"], 2),
-        "loss_assigner_ms": results["loss_feats"],
-        "model_fwd_ms": results["fwd"],
-    }
-    out = Path("/tmp/tpu_queue/train_decomp.json")
+    if not only:
+        results["derived"] = {
+            "bwd_ms": round(results["grad"] - results["fwd_loss"], 2),
+            "opt_ms": round(results["grad_opt"] - results["grad"], 2),
+            "ema_ms": round(results["full"] - results["grad_opt"], 2),
+            "loss_assigner_ms": results["loss_feats"],
+            "model_fwd_ms": results["fwd"],
+        }
+    out = Path("/tmp/tpu_queue/train_decomp%s.json" % ("_partial" if only else ""))
     out.parent.mkdir(exist_ok=True)
     out.write_text(json.dumps({"batch": batch, **results}, indent=1))
     print(json.dumps({"batch": batch, **results}))

@@ -174,3 +174,29 @@ def test_warmup_matches_torch_sgd_groups():
     np.testing.assert_allclose(
         np.asarray(p["layer"]["bias"]), tb.detach().numpy(), atol=2e-4
     )
+
+
+def test_topk_select_mask_matches_lax_topk():
+    """topk_select_mask picks exactly lax.top_k's set, incl. tie-heavy and
+    all-zero rows (the regimes the assigner actually sees)."""
+    import jax
+    import jax.numpy as jnp
+
+    from xlstm_yolo_tpu.utils.tal import topk_select_mask
+
+    rng = np.random.default_rng(0)
+    A, k = 97, 10
+    cases = [
+        rng.uniform(0, 1, (4, 6, A)).astype(np.float32),
+        np.zeros((2, 3, A), np.float32),                      # all ties
+        np.repeat(rng.uniform(0, 1, (2, 3, 1)), A, -1).astype(np.float32),
+    ]
+    sparse = np.zeros((2, 3, A), np.float32)                  # < k nonzero
+    sparse[..., :4] = rng.uniform(0.5, 1, (2, 3, 4))
+    cases.append(sparse)
+    for m in cases:
+        got = np.asarray(topk_select_mask(jnp.asarray(m), k))
+        _, idx = jax.lax.top_k(jnp.asarray(m), k)
+        want = np.zeros_like(got)
+        np.put_along_axis(want, np.asarray(idx), True, axis=-1)
+        np.testing.assert_array_equal(got, want)

@@ -103,6 +103,26 @@ def _candidates_in_rotated_gts(anc_points, gt_rboxes, eps: float = 1e-9):
     return (ap_ab >= eps) & (ap_ab <= norm_ab) & (ap_ad >= eps) & (ap_ad <= norm_ad)
 
 
+def topk_select_mask(metric: jax.Array, topk: int) -> jax.Array:
+    """(…, A) metric -> (…, A) bool mask of its top-``topk`` entries.
+
+    Same selected set as ``lax.top_k`` (both are stable: value ties pick
+    the lower index first) but computed as ``topk`` unrolled masked-argmax
+    rounds — O(k·A) streaming passes instead of the full-A variadic sort
+    TPUs lower ``top_k`` to. Selected per-round values are masked to -inf
+    so indices are distinct, exactly like top_k's.
+    """
+    A = metric.shape[-1]
+    live = metric.astype(f32)
+    sel = jnp.zeros(metric.shape, bool)
+    for _ in range(topk):
+        j = jnp.argmax(live, -1)
+        oh = jax.nn.one_hot(j, A, dtype=bool)
+        sel = sel | oh
+        live = jnp.where(oh, -jnp.inf, live)
+    return sel
+
+
 class AssignResult(NamedTuple):
     target_labels: jax.Array  # (B, A) int32
     target_bboxes: jax.Array  # (B, A, 4)
@@ -169,18 +189,13 @@ def task_aligned_assign(
 
     align_metric = bbox_scores.astype(f32) ** alpha * overlaps.astype(f32) ** beta
 
-    # 3) top-k per gt over anchors, duplicates and invalid gts removed
-    topk_vals, topk_idx = jax.lax.top_k(align_metric, topk)  # (B, M, topk)
+    # 3) top-k per gt over anchors, duplicates and invalid gts removed.
     # parity: with an explicit gt-validity mask the reference does NOT
     # drop zero-metric candidates from the top-k (tal.py:176-180) — an
     # in-box anchor whose prediction has zero IoU still gets assigned.
-    topk_valid = jnp.broadcast_to(mask_gt[..., None], topk_idx.shape)
-    counts = jnp.sum(
-        jax.nn.one_hot(topk_idx, A, dtype=jnp.int32)
-        * topk_valid[..., None].astype(jnp.int32),
-        axis=-2,
-    )  # (B, M, A)
-    mask_topk = counts == 1  # >1 can't happen with distinct top-k indices; ==1 drops invalid
+    # topk_select_mask picks the same set as lax.top_k without lowering
+    # to a full sort over A (measured TPU win; exactness-tested).
+    mask_topk = topk_select_mask(align_metric, topk) & mask_gt[..., None]
 
     mask_pos = mask_topk & valid  # (B, M, A)
 
