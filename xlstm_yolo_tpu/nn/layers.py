@@ -16,6 +16,7 @@ on purpose (TPU-first):
 from __future__ import annotations
 
 import math
+import os as _os
 from typing import Any, Callable, Sequence
 
 import jax
@@ -744,7 +745,12 @@ class ViLBlockPair(nn.Module):
             chunkwise_kernel=self.chunkwise_kernel, compute_dtype=self.compute_dtype,
         )
         block_cls = ViLBlock
-        if self.training and S >= self.ckpt_thresh:
+        # XY_CKPT_THRESH trades HBM for backward time: remat recomputes the
+        # block in the VJP, so raising the threshold (when activations fit)
+        # removes a full extra forward of the longest stage from the
+        # backward pass. Measurement knob (scripts/exp_remat.py).
+        thresh = int(_os.environ.get("XY_CKPT_THRESH", self.ckpt_thresh))
+        if self.training and S >= thresh:
             block_cls = nn.remat(ViLBlock)
         x = block_cls(direction=FORWARD, name="rowwise_from_top_left", **kw)(x)
         x = block_cls(direction=BACKWARD, name="rowwise_from_bot_right", **kw)(x)
