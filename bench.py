@@ -196,14 +196,16 @@ def main():
     train_img_s = train_ms = train_mfu = -1.0
     try:
         from xlstm_yolo_tpu.engine import optimizers as opt_lib
-        from xlstm_yolo_tpu.engine.steps import TrainState, make_train_step
+        from xlstm_yolo_tpu.engine.steps import FlatTrainState, make_train_step
 
         model_tr, _ = build_detection_model(CFG, training=True, compute_dtype=jnp.bfloat16)
         v_tr = jax.jit(model_tr.init)({"params": rng, "droppath": rng}, img_f)
-        tx, _, _ = opt_lib.build_optimizer(
+        # flat-buffer optimizer+EMA — the trainer default (1.50x the tree
+        # path at the real AdEMAMix+warmup config, scripts/exp_flat_opt.py)
+        tx, _, _ = opt_lib.build_flat_optimizer(
             v_tr["params"], name="SGD", lr=0.01, momentum=0.9, weight_decay=5e-4,
         )
-        state = TrainState.create(v_tr, tx)
+        state = FlatTrainState.create(v_tr, tx)
         step = jax.jit(make_train_step(model_tr, tx, nc=80, accumulate=1))
 
         M = 32

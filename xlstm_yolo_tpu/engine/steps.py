@@ -42,6 +42,66 @@ class TrainState(struct.PyTreeNode):
         )
 
 
+class FlatTrainState(struct.PyTreeNode):
+    """TrainState with params / optimizer moments / EMA as ONE flat f32
+    vector each (TPU-first): the optimizer + EMA become ~15 large fused
+    elementwise ops over ~100 MB instead of ~8 tiny XLA fusions per each
+    of the model's ~731 param leaves — per-leaf dispatch dominates the
+    tree path's post-backward cost (scripts/exp_flat_opt.py). The pytree
+    view is materialized only at ``model.apply`` entry via ``unravel``
+    (a static field); AD transposes those slices back into a flat grad.
+
+    Pure-DP only: tensor-parallel ('model' axis) shards individual
+    leaves, which a single flat vector cannot carry — the trainer keeps
+    the tree path when n_model > 1.
+    """
+
+    step: jax.Array
+    flat_params: jax.Array
+    batch_stats: Any
+    opt_state: Any
+    ema_flat: jax.Array
+    ema_updates: jax.Array
+    unravel: Any = struct.field(pytree_node=False)
+
+    # duck-typed surface of TrainState (val / checkpointing / export)
+    @property
+    def params(self):
+        return self.unravel(self.flat_params)
+
+    @property
+    def ema(self):
+        return opt_lib.EMAState(self.unravel(self.ema_flat), self.ema_updates)
+
+    @classmethod
+    def create(cls, variables, tx):
+        from jax.flatten_util import ravel_pytree
+
+        flat, unravel = ravel_pytree(variables["params"])
+        return cls(
+            step=jnp.zeros([], jnp.int32),
+            flat_params=flat,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(flat),
+            ema_flat=flat,
+            ema_updates=jnp.zeros([], jnp.int32),
+            unravel=unravel,
+        )
+
+    def load_tree(self, tree):
+        """Restore from the tree-form checkpoint layout (utils/checkpoint)."""
+        from jax.flatten_util import ravel_pytree
+
+        return self.replace(
+            step=tree["step"],
+            flat_params=ravel_pytree(tree["params"])[0],
+            batch_stats=tree["batch_stats"],
+            opt_state=tree["opt_state"],
+            ema_flat=ravel_pytree(tree["ema_params"])[0],
+            ema_updates=tree["ema_updates"],
+        )
+
+
 def make_train_step(
     model_train,
     tx: optax.GradientTransformation,
@@ -169,23 +229,35 @@ def make_train_step(
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def single(state: TrainState, batch, rng):
-        (loss, (items, new_bs)), grads = grad_fn(state.params, state.batch_stats, batch, rng)
-        return loss, items, new_bs, grads
+    def train_step(state, batch, rng):
+        flat = isinstance(state, FlatTrainState)
+        if flat:
+            # differentiate wrt the flat vector: loss_fn sees the tree
+            # view; AD transposes the unravel slices into a flat grad
+            unravel = state.unravel
+            gfn = jax.value_and_grad(
+                lambda fp, bs, b, r: loss_fn(unravel(fp), bs, b, r),
+                has_aux=True)
+            p0 = state.flat_params
+        else:
+            gfn, p0 = grad_fn, state.params
 
-    def train_step(state: TrainState, batch, rng):
+        def single(bs, mb, r):
+            (loss, (items, new_bs)), grads = gfn(p0, bs, mb, r)
+            return loss, items, new_bs, grads
+
         if accumulate > 1:
             def micro(carry, xs):
                 mb, mb_idx = xs
                 g_acc, bs, l_acc = carry
                 # independent stochastic-depth masks per microbatch
                 loss, items, new_bs, grads = single(
-                    state.replace(batch_stats=bs), mb, jax.random.fold_in(rng, mb_idx)
+                    bs, mb, jax.random.fold_in(rng, mb_idx)
                 )
                 g_acc = jax.tree.map(jnp.add, g_acc, grads)
                 return (g_acc, new_bs, l_acc + loss), items
 
-            g0 = jax.tree.map(jnp.zeros_like, state.params)
+            g0 = jax.tree.map(jnp.zeros_like, p0)
             n_micro = jax.tree.leaves(batch)[0].shape[0]
             (grads, new_bs, loss), items = jax.lax.scan(
                 micro,
@@ -194,18 +266,30 @@ def make_train_step(
             )
             items = jax.tree.map(lambda x: x[-1], items)
         else:
-            loss, items, new_bs, grads = single(state, batch, rng)
+            loss, items, new_bs, grads = single(state.batch_stats, batch, rng)
 
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        new_ema = opt_lib.ema_update(state.ema, new_params, decay=ema_decay)
-        new_state = state.replace(
-            step=state.step + 1,
-            params=new_params,
-            batch_stats=new_bs,
-            opt_state=new_opt,
-            ema=new_ema,
-        )
+        updates, new_opt = tx.update(grads, state.opt_state, p0)
+        if flat:
+            new_flat = state.flat_params + updates
+            d = opt_lib.ema_decay_at(state.ema_updates + 1, decay=ema_decay)
+            new_state = state.replace(
+                step=state.step + 1,
+                flat_params=new_flat,
+                batch_stats=new_bs,
+                opt_state=new_opt,
+                ema_flat=state.ema_flat * d + (1 - d) * new_flat,
+                ema_updates=state.ema_updates + 1,
+            )
+        else:
+            new_params = optax.apply_updates(state.params, updates)
+            new_ema = opt_lib.ema_update(state.ema, new_params, decay=ema_decay)
+            new_state = state.replace(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_bs,
+                opt_state=new_opt,
+                ema=new_ema,
+            )
         metrics = {
             "loss": loss,
             "box_loss": items.box,

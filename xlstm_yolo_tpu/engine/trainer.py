@@ -10,6 +10,7 @@ opt_state, EMA, step, epoch, fitness, rng).
 from __future__ import annotations
 
 import csv
+import os
 import math
 import queue
 import threading
@@ -25,7 +26,7 @@ from xlstm_yolo_tpu.cfg import get_cfg
 from xlstm_yolo_tpu.data.build import build_dataloader, build_yolo_dataset
 from xlstm_yolo_tpu.data.dataset import check_det_dataset
 from xlstm_yolo_tpu.engine import optimizers as opt_lib
-from xlstm_yolo_tpu.engine.steps import TrainState, make_train_step
+from xlstm_yolo_tpu.engine.steps import FlatTrainState, TrainState, make_train_step
 from xlstm_yolo_tpu.engine.validator import DetectionValidator
 from xlstm_yolo_tpu.nn.tasks import build_detection_model
 from xlstm_yolo_tpu.parallel import mesh as mesh_lib
@@ -190,15 +191,30 @@ class DetectionTrainer:
         schedule = sched_fn(
             float(args.lr0), float(args.lrf), epochs, steps_per_epoch,
         )
-        tx, lr0, opt_name = opt_lib.build_optimizer(
-            variables["params"], name=args.optimizer, lr=float(args.lr0),
+        opt_kw = dict(
+            name=args.optimizer, lr=float(args.lr0),
             momentum=float(args.momentum), weight_decay=weight_decay,
             schedule=schedule, iterations=iterations, nc=nc,
             warmup_steps=warmup_steps,
             warmup_momentum=float(getattr(args, "warmup_momentum", 0.8)),
             warmup_bias_lr=float(getattr(args, "warmup_bias_lr", 0.1)),
         )
-        state = TrainState.create(variables, tx)
+        # flat-buffer optimizer+EMA (one fused vector program instead of
+        # ~8 small fusions per param leaf) — pure-DP only; XY_FLAT_OPT=0
+        # forces the per-leaf tree path
+        flat_ok = (mesh.shape[mesh_lib.MODEL_AXIS] == 1
+                   and os.environ.get("XY_FLAT_OPT", "1") != "0")
+        if flat_ok:
+            try:
+                tx, lr0, opt_name = opt_lib.build_flat_optimizer(
+                    variables["params"], **opt_kw)
+            except NotImplementedError:
+                flat_ok = False
+        if not flat_ok:
+            tx, lr0, opt_name = opt_lib.build_optimizer(
+                variables["params"], **opt_kw)
+        state_cls = FlatTrainState if flat_ok else TrainState
+        state = state_cls.create(variables, tx)
         if args.resume:
             state, self.start_epoch, self.best_fitness = load_checkpoint(
                 self.wdir / "last", state

@@ -67,6 +67,10 @@ def _to_tree(state):
 def _from_tree(state, tree):
     from xlstm_yolo_tpu.engine.optimizers import EMAState
 
+    if hasattr(state, "load_tree"):
+        # FlatTrainState: on-disk layout stays the tree form (params /
+        # ema_params as pytrees), re-raveled on restore
+        return state.load_tree(tree)
     return state.replace(
         step=tree["step"],
         params=tree["params"],
