@@ -69,6 +69,31 @@ def test_dataset_and_loader(synth_dataset):
     assert b["bboxes"].min() >= 0 and b["bboxes"].max() <= 160
 
 
+def test_process_loader_matches_threads(synth_dataset):
+    """Fork-pool workers produce byte-identical batches to the thread
+    pool: augmentation rng is keyed by (seed, epoch, batch index), not by
+    which worker raced to the task."""
+    from xlstm_yolo_tpu.cfg import get_cfg
+    from xlstm_yolo_tpu.data.build import build_dataloader, build_yolo_dataset
+    from xlstm_yolo_tpu.data.dataset import check_det_dataset
+
+    cfg = get_cfg(overrides={"imgsz": 160, "max_targets": 16})
+    data = check_det_dataset(str(synth_dataset))
+    ds = build_yolo_dataset(cfg, data["train"], 4, data, mode="train")
+    lt = build_dataloader(ds, 4, workers=2, shuffle=True, seed=7)
+    lp = build_dataloader(ds, 4, workers=2, shuffle=True, seed=7)
+    lp.use_processes = True
+    try:
+        bt = list(lt._iter_epoch(0)) + list(lt._iter_epoch(1))
+        bp = list(lp._iter_epoch(0)) + list(lp._iter_epoch(1))
+        assert len(bt) == len(bp) == 4
+        for a, b in zip(bt, bp):
+            for k in ("img", "cls", "bboxes", "mask"):
+                np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    finally:
+        lp.close()
+
+
 @pytest.mark.slow
 def test_train_val_predict_roundtrip(synth_dataset, tmp_path):
     from xlstm_yolo_tpu.engine.trainer import DetectionTrainer
