@@ -77,6 +77,51 @@ def test_tp_train_step_matches_dp():
     assert n_sharded > 0, "tensor-parallel pspecs are all replicated"
 
 
+@pytest.mark.slow
+def test_flat_state_dp_matches_single_device():
+    """FlatTrainState (the trainer's pure-DP default) under an 8-device
+    data-sharded mesh: XLA must psum the flat grad across the batch
+    shards and keep the big replicated vector consistent — the loss and
+    updated flat params must match the same step on one device."""
+    from xlstm_yolo_tpu.engine import optimizers as opt_lib
+    from xlstm_yolo_tpu.engine.steps import FlatTrainState, make_train_step
+    from xlstm_yolo_tpu.nn.tasks import build_detection_model
+
+    model, d = build_detection_model(TINY, training=True)
+    B, M = 8, 8
+    batch = {
+        "img": jnp.linspace(0, 1, B * 160 * 160 * 3, dtype=jnp.float32)
+        .reshape(B, 160, 160, 3),
+        "cls": jnp.zeros((B, M), jnp.int32),
+        "bboxes": jnp.tile(jnp.asarray([10.0, 10.0, 80.0, 90.0]), (B, M, 1)),
+        "mask": jnp.ones((B, M), bool).at[:, 4:].set(False),
+    }
+    rng = jax.random.PRNGKey(0)
+    variables = jax.jit(model.init)({"params": rng, "droppath": rng}, batch["img"])
+    tx, _, _ = opt_lib.build_flat_optimizer(
+        variables["params"], name="AdEMAMix", lr=1e-3, iterations=10,
+        nc=d.get("nc", 80))
+    step = jax.jit(make_train_step(model, tx, nc=d.get("nc", 80)))
+
+    # single device
+    st1 = FlatTrainState.create(variables, tx)
+    st1, m1 = step(st1, batch, rng)
+
+    # 8-way data-sharded
+    mesh = mesh_lib.make_mesh(n_data=8, n_model=1)
+    st8 = FlatTrainState.create(variables, tx)
+    st8 = st8.replace(flat_params=jax.device_put(
+        st8.flat_params, mesh_lib.replicated(mesh, st8.flat_params)))
+    batch8 = jax.device_put(batch, mesh_lib.make_batch_sharding(mesh, batch))
+    with mesh:
+        st8, m8 = step(st8, batch8, rng)
+        jax.block_until_ready(st8.flat_params)
+
+    assert float(m8["loss"]) == pytest.approx(float(m1["loss"]), rel=2e-4)
+    worst = float(jnp.max(jnp.abs(st8.flat_params - st1.flat_params)))
+    assert worst < 5e-3, f"max flat-param divergence {worst}"
+
+
 def test_param_pspec_rules():
     """Column/row-parallel rules map the ViL projection names correctly."""
     import numpy as np
