@@ -148,6 +148,47 @@ def test_train_val_predict_roundtrip(synth_dataset, tmp_path):
     assert y.shape[-1] == 6
 
 
+@pytest.mark.slow
+def test_resume_pre_flat_checkpoint_falls_back(synth_dataset, tmp_path, monkeypatch, capsys):
+    """A checkpoint written by the per-leaf tree optimizer (pre-flat-opt
+    runs, or XY_FLAT_OPT=0) must still resume when the flat-buffer
+    optimizer is the default: the trainer detects the opt_state layout
+    mismatch and falls back to the tree path for that run."""
+    from xlstm_yolo_tpu.engine.steps import TrainState
+    from xlstm_yolo_tpu.engine.trainer import DetectionTrainer
+
+    overrides = {
+        "model": str(CFG_TINY),
+        "data": str(synth_dataset),
+        "imgsz": 160,
+        "epochs": 1,
+        "batch": 4,
+        "workers": 2,
+        "max_targets": 16,
+        "optimizer": "SGD",
+        "amp": False,
+        "project": str(tmp_path / "runs"),
+        "name": "resume_flat",
+        "mosaic": 0.0,
+        "val": False,
+        "plots": False,
+        "save": True,
+    }
+    monkeypatch.setenv("XY_FLAT_OPT", "0")
+    tr = DetectionTrainer(overrides=dict(overrides), model_cfg=str(CFG_TINY))
+    tr.train()
+    assert isinstance(tr.state, TrainState)  # tree layout on disk
+    monkeypatch.delenv("XY_FLAT_OPT")
+
+    overrides.update(epochs=2, resume=True, exist_ok=True)
+    tr2 = DetectionTrainer(overrides=overrides, model_cfg=str(CFG_TINY))
+    tr2.train()
+    out = capsys.readouterr().out
+    assert "falling back to the per-leaf optimizer" in out
+    assert tr2.start_epoch == 1
+    assert isinstance(tr2.state, TrainState)
+
+
 def test_predictor_on_image(tmp_path):
     import cv2
 

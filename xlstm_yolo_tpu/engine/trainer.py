@@ -216,9 +216,24 @@ class DetectionTrainer:
         state_cls = FlatTrainState if flat_ok else TrainState
         state = state_cls.create(variables, tx)
         if args.resume:
-            state, self.start_epoch, self.best_fitness = load_checkpoint(
-                self.wdir / "last", state
-            )
+            try:
+                state, self.start_epoch, self.best_fitness = load_checkpoint(
+                    self.wdir / "last", state
+                )
+            except Exception:
+                if not flat_ok:
+                    raise
+                # pre-flat checkpoint: opt_state is the tree-optimizer
+                # layout — resume on the tree path instead
+                print("resume: checkpoint has a tree opt_state; "
+                      "falling back to the per-leaf optimizer")
+                flat_ok = False
+                tx, lr0, opt_name = opt_lib.build_optimizer(
+                    variables["params"], **opt_kw)
+                state = TrainState.create(variables, tx)
+                state, self.start_epoch, self.best_fitness = load_checkpoint(
+                    self.wdir / "last", state
+                )
 
         # grad accumulation: collect `accumulate` loader batches and scan
         # over them as microbatches inside one optimizer step (the nbs
