@@ -326,3 +326,56 @@ def test_v2_fused_outnorm_matches_native_cell(rng):
     h_v2 = cell_v2.apply(variables, q, k, v)
     np.testing.assert_allclose(np.asarray(h_v2), np.asarray(h_nat),
                                atol=3e-4, rtol=1e-3)
+
+
+def test_pallas_c_initial_grad_matches_jnp(rng):
+    """Gradient w.r.t. c_initial must be the grad of the state *before*
+    chunk 0 (decay + chunk-0 h_inter term), not the raw dC_after-chunk-0
+    the reverse scan stores at slot 0 — the sequence-parallel train path
+    differentiates through threaded inbound states (parallel/sequence.py)."""
+    from xlstm_yolo_tpu.ops.mlstm_chunkwise import mlstm_chunkwise_stabilized
+    from xlstm_yolo_tpu.ops.pallas.chunkwise_exp import mlstm_chunkwise_exp_pallas
+    from xlstm_yolo_tpu.ops.pallas.chunkwise_v2 import (
+        mlstm_siging_chunkwise_pallas_v2,
+    )
+
+    B, NH, S, DH, L = 1, 2, 64, 8, 16
+    q, k, v, i, f = make_args(rng, B=B, NH=NH, S=S, DHQK=DH, DHHV=DH)
+    c0 = jnp.asarray(rng.normal(size=(B, NH, DH, DH)), jnp.float32) * 0.1
+    n0 = jnp.asarray(rng.normal(size=(B, NH, DH)), jnp.float32) * 0.1
+
+    cases = [
+        (
+            lambda c: mlstm_siging_chunkwise_pallas(
+                q, k, v, i, f, chunk_size=L, c_initial=c, n_initial=n0,
+                compute_dtype=jnp.float32),
+            lambda c: mlstm_siging_chunkwise(
+                q, k, v, i, f, chunk_size=L, c_initial=c, n_initial=n0,
+                stopgrad_norm=True),
+        ),
+        (
+            lambda c: mlstm_siging_chunkwise_pallas_v2(
+                q, k, v, i, f, chunk_size=L, c_initial=c, n_initial=n0,
+                compute_dtype=jnp.float32),
+            lambda c: mlstm_siging_chunkwise(
+                q, k, v, i, f, chunk_size=L, c_initial=c, n_initial=n0,
+                stopgrad_norm=True),
+        ),
+        (
+            lambda c: mlstm_chunkwise_exp_pallas(
+                q, k, v, i, f, chunk_size=L, c_initial=c, n_initial=n0,
+                m_initial=jnp.zeros((B, NH), jnp.float32),
+                compute_dtype=jnp.float32),
+            lambda c: mlstm_chunkwise_stabilized(
+                q, k, v, i, f, chunk_size=L, c_initial=c, n_initial=n0,
+                m_initial=jnp.zeros((B, NH), jnp.float32),
+                stopgrad_norm=True),
+        ),
+    ]
+    for name, (pl_fn, ref_fn) in zip(["v1", "v2", "exp"], cases):
+        g_pl = jax.grad(lambda c: (pl_fn(c) ** 2).sum())(c0)
+        g_ref = jax.grad(lambda c: (ref_fn(c) ** 2).sum())(c0)
+        np.testing.assert_allclose(
+            np.asarray(g_pl), np.asarray(g_ref), atol=2e-4, rtol=2e-3,
+            err_msg=f"c_initial grad ({name})",
+        )

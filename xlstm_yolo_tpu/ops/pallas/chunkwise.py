@@ -270,7 +270,7 @@ def _fw(
 
 def _bw_dc_kernel(
     q_ref, f_ref, g_ref, dh_ref, nout_ref, dclast_ref,
-    dcstates_ref, dc_scr,
+    dcstates_ref, dc0_ref, dc_scr,
     *, L: int, DHQK: int, DHHV: int, NC: int, qk_scale: float, eps: float,
     use_dclast: bool, dtype: Any,
 ):
@@ -278,7 +278,8 @@ def _bw_dc_kernel(
 
     Grid step j visits chunk jj = NC-1-j (q/dh/out blocks index-mapped;
     full-row refs sliced with jj); emits dC_jj (grad w.r.t. the state
-    *after* chunk jj) at slot jj.
+    *after* chunk jj) at slot jj, plus dc0 = grad w.r.t. the state
+    *before* chunk 0 (= c_initial) at the last step.
     """
     j = pl.program_id(1)
 
@@ -306,6 +307,10 @@ def _bw_dc_kernel(
         preferred_element_type=f32,
     )
     dc_scr[...] = dC_prev
+
+    @pl.when(j == NC - 1)
+    def _final():
+        dc0_ref[0] = dC_prev
 
 
 def _bw_dqkv_kernel(
@@ -443,11 +448,16 @@ def _bw(
         ],
         out_specs=[
             pl.BlockSpec((1, 1, DHQK, DHHV), lambda bi, j: (bi, NC - 1 - j, 0, 0)),
+            pl.BlockSpec((1, DHQK, DHHV), lambda bi, j: (bi, 0, 0)),
         ],
-        out_shape=[jax.ShapeDtypeStruct((BNH, NC, DHQK, DHHV), f32)],
+        out_shape=[
+            jax.ShapeDtypeStruct((BNH, NC, DHQK, DHHV), f32),
+            jax.ShapeDtypeStruct((BNH, DHQK, DHHV), f32),
+        ],
         scratch_shapes=[pltpu.VMEM((DHQK, DHHV), f32)],
         interpret=_interpret(),
-    )(qf, ffl, scaG, dhf, nflat, dcl)[0]
+    )(qf, ffl, scaG, dhf, nflat, dcl)
+    dc_states, dc0_arr = dc_states
 
     # 2) fused per-chunk dQ/dK/dV
     dq, dk, dv = pl.pallas_call(
@@ -493,7 +503,7 @@ def _bw(
     df = dfrev * jax.nn.sigmoid(-f.astype(f32))
     di = (kg * dk).sum(-1) * jax.nn.sigmoid(-i.astype(f32))
 
-    dc0 = dc_states[:, 0].reshape(B, NH, DHQK, DHHV)
+    dc0 = dc0_arr.reshape(B, NH, DHQK, DHHV)
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), di, df, dc0
 
 

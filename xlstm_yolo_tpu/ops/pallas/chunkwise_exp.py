@@ -283,14 +283,16 @@ def _fw(
 
 def _bw_dc_kernel(
     q_ref, f_ref, mprev_ref, mcomb_ref, dh_ref, nout_ref, dclast_ref,
-    dcstates_ref, dc_scr,
+    dcstates_ref, dc0_ref, dc_scr,
     *, L: int, DHQK: int, DHHV: int, NC: int, qk_scale: float, eps: float,
     use_dclast: bool, dtype: Any,
 ):
     """Reverse scan: dC_{k-1} = gbar_k dC_k + Qbar_k^T (dH_k / den_k).
 
     gbar_k = e^{g_k + m_{k-1} - m_k} arrives precomputed in mprev_ref
-    slot 1 (SMEM rows carry [m_prev_k, gbar_k])."""
+    slot 1 (SMEM rows carry [m_prev_k, gbar_k]).  Also emits dc0 = grad
+    w.r.t. the state *before* chunk 0 (= c_initial, in its m_initial
+    scaling) at the last step."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -313,11 +315,16 @@ def _bw_dc_kernel(
     n_row = nout_ref[0, 0]
     dhn = dh_ref[0].astype(f32) / (n_row.T + eps)
     qbar = q.astype(f32) * jnp.exp(b.T + m_prev - m_comb.T) * qk_scale
-    dc_scr[...] = gbar * dC_after + jax.lax.dot_general(
+    dC_prev = gbar * dC_after + jax.lax.dot_general(
         qbar.astype(dtype), dhn.astype(dtype),
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=f32,
     )
+    dc_scr[...] = dC_prev
+
+    @pl.when(j == NC - 1)
+    def _final():
+        dc0_ref[0] = dC_prev
 
 
 def _bw_dqkv_kernel(
@@ -449,14 +456,19 @@ def _bw(
         ],
         out_specs=[
             pl.BlockSpec((1, 1, DHQK, DHHV), lambda bi, j: (bi, NC - 1 - j, 0, 0)),
+            pl.BlockSpec((1, DHQK, DHHV), lambda bi, j: (bi, 0, 0)),
         ],
-        out_shape=[jax.ShapeDtypeStruct((BNH, NC, DHQK, DHHV), f32)],
+        out_shape=[
+            jax.ShapeDtypeStruct((BNH, NC, DHQK, DHHV), f32),
+            jax.ShapeDtypeStruct((BNH, DHQK, DHHV), f32),
+        ],
         scratch_shapes=[pltpu.VMEM((DHQK, DHHV), f32)],
         interpret=_interpret(),
     )(qf, ffl, mrow_dc, m_comb, dhf, n_out, (
         dc_last.reshape(BNH, DHQK, DHHV).astype(f32)
         if use_dclast else jnp.zeros((1, DHQK, DHHV), f32)
-    ))[0]
+    ))
+    dc_states, dc0_arr = dc_states
 
     dq, dk, dv = pl.pallas_call(
         functools.partial(
@@ -501,7 +513,7 @@ def _bw(
     df = dfrev * jax.nn.sigmoid(-f.astype(f32))
     di = (kg * dk).sum(-1)
 
-    dc0 = dc_states[:, 0].reshape(B, NH, DHQK, DHHV)
+    dc0 = dc0_arr.reshape(B, NH, DHQK, DHHV)
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), di, df, dc0
 
 

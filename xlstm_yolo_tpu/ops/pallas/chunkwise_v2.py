@@ -353,11 +353,14 @@ def _fw(
 
 def _bw_dc_kernel(
     q_ref, f_ref, g_ref, dh_ref, nout_ref, dclast_ref,
-    dcstates_ref, dc_scr,
+    dcstates_ref, dc0_ref, dc_scr,
     *, G: int, L: int, S: int, DHQK: int, DHHV: int, NC: int,
     qk_scale: float, eps: float, use_dclast: bool, dtype: Any,
 ):
-    """Reverse scan: dC_{k-1} = e^g dC_k + Qbar_k^T (dH_k / n_k), G heads/step."""
+    """Reverse scan: dC_{k-1} = e^g dC_k + Qbar_k^T (dH_k / n_k), G heads/step.
+
+    Emits dC_jj (grad w.r.t. the state *after* chunk jj) at slot jj, plus
+    dc0 = grad w.r.t. the state *before* chunk 0 (= c_initial) at the end."""
     j = pl.program_id(2)
     jj = NC - 1 - j  # chunk visited this step
     ragged = S % L != 0
@@ -389,11 +392,16 @@ def _bw_dc_kernel(
         n_row = nout_ref[0, 0, 0, h : h + 1, :]  # (1, L); pad slots are 1.0
         dhn = dh.astype(f32) / (n_row.T + eps)  # (L, DHHV)
         qbar = q.astype(f32) * jnp.exp(b.T) * qk_scale
-        dc_scr[h * DHQK : (h + 1) * DHQK, :] = gbar * dC_after + jax.lax.dot_general(
+        dC_prev = gbar * dC_after + jax.lax.dot_general(
             qbar.astype(dtype), dhn.astype(dtype),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=f32,
         )
+        dc_scr[h * DHQK : (h + 1) * DHQK, :] = dC_prev
+
+        @pl.when(j == NC - 1)
+        def _final():
+            dc0_ref[0, h] = dC_prev
 
 
 def _bw_dqkv_kernel(
@@ -578,11 +586,16 @@ def _bw(
         ],
         out_specs=[
             pl.BlockSpec((1, 1, G, DHQK, DHHV), lambda b, hg, j: (b, NC - 1 - j, hg, 0, 0)),
+            pl.BlockSpec((1, G, DHQK, DHHV), lambda b, hg, j: (b, hg, 0, 0)),
         ],
-        out_shape=[jax.ShapeDtypeStruct((B, NC, NH, DHQK, DHHV), f32)],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, NC, NH, DHQK, DHHV), f32),
+            jax.ShapeDtypeStruct((B, NH, DHQK, DHHV), f32),
+        ],
         scratch_shapes=[pltpu.VMEM((G * DHQK, DHHV), f32)],
         interpret=_interpret(),
-    )(q, ffl, scaG, dh, n_out, dcl)[0]
+    )(q, ffl, scaG, dh, n_out, dcl)
+    dc_states, dc0_arr = dc_states
 
     # 2) fused per-chunk dQ/dK/dV
     dq, dk, dv = pl.pallas_call(
@@ -627,7 +640,7 @@ def _bw(
     df = dfrev * jax.nn.sigmoid(-f.astype(f32))
     di = (kg * dkg).sum(-1) * jax.nn.sigmoid(-i.astype(f32))
 
-    dc0 = dc_states[:, 0]  # (B, NH, DHQK, DHHV)
+    dc0 = dc0_arr  # (B, NH, DHQK, DHHV): grad w.r.t. c_initial
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), di, df, dc0
 
 
