@@ -379,3 +379,38 @@ def test_pallas_c_initial_grad_matches_jnp(rng):
             np.asarray(g_pl), np.asarray(g_ref), atol=2e-4, rtol=2e-3,
             err_msg=f"c_initial grad ({name})",
         )
+
+
+def test_pallas_v2_bw_col_variant_matches_row(rng, monkeypatch):
+    """XY_V2_BW=col (transposed (DH, L) grad outputs, full MXU lane
+    width) must produce the same grads as the row form, including the
+    ragged tail and c_initial."""
+    from xlstm_yolo_tpu.ops.pallas import chunkwise_v2 as m
+
+    B, NH, S, DH, L = 1, 2, 72, 8, 16  # S % L != 0: ragged path
+    H = NH * DH
+    q = jnp.asarray(rng.normal(size=(B, S, H)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, S, H)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, H)), jnp.float32)
+    i = jnp.asarray(rng.normal(size=(B, S, NH)) - 5.0, jnp.float32)
+    f = jnp.asarray(rng.normal(size=(B, S, NH)) + 4.0, jnp.float32)
+    c0 = jnp.asarray(rng.normal(size=(B, NH, DH, DH)), jnp.float32) * 0.1
+    n0 = jnp.asarray(rng.normal(size=(B, NH, DH)), jnp.float32) * 0.1
+
+    def grads():
+        def loss(q, k, v, i, f, c0):
+            h = m.mlstm_siging_chunkwise_pallas_v2_bsh(
+                q, k, v, i, f, num_heads=NH, chunk_size=L,
+                c_initial=c0, n_initial=n0, compute_dtype=jnp.float32)
+            return (h ** 2).sum()
+        return jax.grad(loss, argnums=(0, 1, 2, 3, 4, 5))(q, k, v, i, f, c0)
+
+    monkeypatch.setattr(m, "BW_VARIANT", "row")
+    g_row = grads()
+    monkeypatch.setattr(m, "BW_VARIANT", "col")
+    g_col = grads()
+    for a, b, name in zip(g_row, g_col, ["q", "k", "v", "i", "f", "c0"]):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-5,
+            err_msg=f"col-variant grad {name}",
+        )

@@ -23,6 +23,15 @@ that matter at model scale:
 - **Lean inference forward**: Pallas outputs are not DCE-able, so the
   custom-VJP primal runs a separate kernel without the backward-only
   chunk-state outputs.
+- **Fused single-pass backward**: the reverse dC scan is carried in a
+  VMEM scratch accumulator while dQ/dK/dV are emitted per chunk — one
+  grid pass instead of two, and the (B, NC, NH, DHQK, DHHV) dc_states
+  HBM round-trip disappears.  Measured on v5e at the flagship train
+  shape (B8 S6400 NH12 DH32 cs640): fwd+bwd 17.2 -> 12.1 ms (1.42x).
+  A transposed-output variant (env XY_V2_BW=col: (DH, L) grads, full
+  MXU lane width, one XLA transpose outside) measured equal within
+  noise (mean 12.4 vs 12.2 over 4 interleaved runs) but with 3x the
+  run-to-run variance; "row" stays the default.
 
 Per-head rows (gates, normalizers) are laid out (B, NC, NH, L); the
 tiny gate tensors are padded host-side with inert values.
@@ -31,6 +40,7 @@ tiny gate tensors are padded host-side with inert values.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any
 
 import jax
@@ -41,6 +51,11 @@ from jax.experimental.pallas import tpu as pltpu
 from xlstm_yolo_tpu.ops.pallas.chunkwise import _chunk_gates, _cumsum_row, _interpret
 
 f32 = jnp.float32
+
+# backward output orientation: "row" = (L, DH) chunk outputs (original),
+# "col" = transposed (DH, L) outputs keeping the MXU lane dim L-wide
+# (see _bw_fused_kernel_t).  A/B-able per process via env XY_V2_BW.
+BW_VARIANT = os.environ.get("XY_V2_BW", "row")
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -351,20 +366,28 @@ def _fw(
 # ---------------------------------------------------------------------------
 
 
-def _bw_dc_kernel(
-    q_ref, f_ref, g_ref, dh_ref, nout_ref, dclast_ref,
-    dcstates_ref, dc0_ref, dc_scr,
+def _bw_fused_kernel(
+    q_ref, k_ref, v_ref, i_ref, f_ref, g_ref,
+    cstates_ref, nout_ref, dh_ref, dclast_ref,
+    dq_ref, dk_ref, dv_ref, dc0_ref, dc_scr,
     *, G: int, L: int, S: int, DHQK: int, DHHV: int, NC: int,
     qk_scale: float, eps: float, use_dclast: bool, dtype: Any,
 ):
-    """Reverse scan: dC_{k-1} = e^g dC_k + Qbar_k^T (dH_k / n_k), G heads/step.
+    """Fused backward: reverse dC scan + per-chunk dQ/dK/dV in ONE pass.
 
-    Emits dC_jj (grad w.r.t. the state *after* chunk jj) at slot jj, plus
-    dc0 = grad w.r.t. the state *before* chunk 0 (= c_initial) at the end."""
+    Grid step j visits chunk jj = NC-1-j.  TPU grid steps execute
+    sequentially on the core anyway, so carrying the dC recurrence in
+    scratch while emitting dQ/dK/dV per chunk costs no parallelism and
+    removes an entire NC-step grid pass (plus the dc_states HBM
+    round-trip) vs the two-kernel form.  Emits dc0 = grad w.r.t.
+    c_initial (the state *before* chunk 0) at the last step."""
     j = pl.program_id(2)
-    jj = NC - 1 - j  # chunk visited this step
+    jj = NC - 1 - j
     ragged = S % L != 0
     mask = _row_mask(jj, L, S) if ragged else None
+    row = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    causal = row >= col  # hoisted: shared across heads
 
     @pl.when(j == 0)
     def _init():
@@ -372,52 +395,6 @@ def _bw_dc_kernel(
             dc_scr[...] = dclast_ref[0].reshape(G * DHQK, DHHV).astype(f32)
         else:
             dc_scr[...] = jnp.zeros((G * DHQK, DHHV), f32)
-
-    qall = q_ref[0]
-    dhall = dh_ref[0]
-    if ragged:
-        qall = jnp.where(mask, qall, 0)
-        dhall = jnp.where(mask, dhall, 0)
-
-    for h in range(G):
-        dC_after = dc_scr[h * DHQK : (h + 1) * DHQK, :]
-        dcstates_ref[0, 0, h] = dC_after
-
-        q = qall[:, h * DHQK : (h + 1) * DHQK]
-        dh = dhall[:, h * DHHV : (h + 1) * DHHV]
-        f_row = f_ref[0, 0, 0, h : h + 1, :]
-        logf = jax.nn.log_sigmoid(f_row.astype(f32))
-        b = _cumsum_row(logf)
-        gbar = jnp.exp(g_ref[0, 0, 0, 0, h])
-        n_row = nout_ref[0, 0, 0, h : h + 1, :]  # (1, L); pad slots are 1.0
-        dhn = dh.astype(f32) / (n_row.T + eps)  # (L, DHHV)
-        qbar = q.astype(f32) * jnp.exp(b.T) * qk_scale
-        dC_prev = gbar * dC_after + jax.lax.dot_general(
-            qbar.astype(dtype), dhn.astype(dtype),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        )
-        dc_scr[h * DHQK : (h + 1) * DHQK, :] = dC_prev
-
-        @pl.when(j == NC - 1)
-        def _final():
-            dc0_ref[0, h] = dC_prev
-
-
-def _bw_dqkv_kernel(
-    q_ref, k_ref, v_ref, i_ref, f_ref,
-    cstates_ref, nout_ref, dh_ref, dcafter_ref,
-    dq_ref, dk_ref, dv_ref,
-    *, G: int, L: int, S: int, DHQK: int, DHHV: int, qk_scale: float,
-    eps: float, dtype: Any,
-):
-    """Per-chunk dQ/dK/dV given stored C and dC states; G heads per step."""
-    j = pl.program_id(2)
-    ragged = S % L != 0
-    mask = _row_mask(j, L, S) if ragged else None
-    row = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
-    causal = row >= col  # hoisted: shared across heads
 
     qall = q_ref[0]
     kall = k_ref[0]
@@ -437,9 +414,10 @@ def _bw_dqkv_kernel(
         i_row = i_ref[0, 0, 0, h : h + 1, :]
         f_row = f_ref[0, 0, 0, h : h + 1, :]
         b, a, logi = _chunk_gates(i_row, f_row)
+        gbar = jnp.exp(g_ref[0, 0, 0, 0, h])
         C_prev = cstates_ref[0, 0, h]
-        dC_after = dcafter_ref[0, 0, h]
-        n_row = nout_ref[0, 0, 0, h : h + 1, :]
+        dC_after = dc_scr[h * DHQK : (h + 1) * DHQK, :]
+        n_row = nout_ref[0, 0, 0, h : h + 1, :]  # pad slots are 1.0
         dhn = dh.astype(f32) / (n_row.T + eps)  # (L, DHHV)
 
         D = jnp.where(row >= col, jnp.exp(b.T - b + logi), 0.0)
@@ -500,6 +478,145 @@ def _bw_dqkv_kernel(
         )
         dv_ref[0, :, h * DHHV : (h + 1) * DHHV] = dv.astype(dv_ref.dtype)
 
+        # reverse dC recurrence: dC_{jj-1} = e^g dC_jj + Qbar^T (dH / n)
+        qbar = q.astype(f32) * expb * qk_scale
+        dC_prev = gbar * dC_after + jax.lax.dot_general(
+            qbar.astype(dtype), dhn.astype(dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        dc_scr[h * DHQK : (h + 1) * DHQK, :] = dC_prev
+
+        @pl.when(j == NC - 1)
+        def _final():
+            dc0_ref[0, h] = dC_prev
+
+
+def _bw_fused_kernel_t(
+    q_ref, k_ref, v_ref, i_ref, f_ref, g_ref,
+    cstates_ref, nout_ref, dh_ref, dclast_ref,
+    dqt_ref, dkt_ref, dvt_ref, dc0_ref, dc_scr,
+    *, G: int, L: int, S: int, DHQK: int, DHHV: int, NC: int,
+    qk_scale: float, eps: float, use_dclast: bool, dtype: Any,
+):
+    """Transposed-output fused backward: emits dQ^T/dK^T/dV^T as (DH, L).
+
+    The row-form kernel's output matmuls — P K, P^T Q, (S∘D)^T dhn — all
+    have N = DH = 32 lanes, so the MXU executes them 128-lane padded at
+    25% utilization.  Orienting the results (DH, L) makes DH the
+    *sublane* dim (8-granular, no padding) and L the lane dim: the same
+    products run as (DH, L) = (operand^T)(L, L) at full width.  The
+    (B, H, S) outputs are transposed back to (B, S, H) by one XLA pass
+    each outside the kernel (~0.1 ms vs multi-ms of MXU padding waste).
+    Selected via XY_V2_BW=col; parity-tested against the row form."""
+    j = pl.program_id(2)
+    jj = NC - 1 - j
+    ragged = S % L != 0
+    mask = _row_mask(jj, L, S) if ragged else None
+    row = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+
+    @pl.when(j == 0)
+    def _init():
+        if use_dclast:
+            dc_scr[...] = dclast_ref[0].reshape(G * DHQK, DHHV).astype(f32)
+        else:
+            dc_scr[...] = jnp.zeros((G * DHQK, DHHV), f32)
+
+    qall = q_ref[0]
+    kall = k_ref[0]
+    vall = v_ref[0]
+    dhall = dh_ref[0]
+    if ragged:
+        qall = jnp.where(mask, qall, 0)
+        kall = jnp.where(mask, kall, 0)
+        vall = jnp.where(mask, vall, 0)
+        dhall = jnp.where(mask, dhall, 0)
+
+    for h in range(G):
+        q = qall[:, h * DHQK : (h + 1) * DHQK]
+        k = kall[:, h * DHQK : (h + 1) * DHQK]
+        v = vall[:, h * DHHV : (h + 1) * DHHV]
+        dh = dhall[:, h * DHHV : (h + 1) * DHHV]
+        i_row = i_ref[0, 0, 0, h : h + 1, :]
+        f_row = f_ref[0, 0, 0, h : h + 1, :]
+        b, a, logi = _chunk_gates(i_row, f_row)  # b, a: (1, L)
+        gbar = jnp.exp(g_ref[0, 0, 0, 0, h])
+        C_prev = cstates_ref[0, 0, h]
+        dC_after = dc_scr[h * DHQK : (h + 1) * DHQK, :]
+        n_row = nout_ref[0, 0, 0, h : h + 1, :]  # pad slots are 1.0
+        dhn = dh.astype(f32) / (n_row.T + eps)  # (L, DHHV)
+
+        D = jnp.where(row >= col, jnp.exp(b.T - b + logi), 0.0)
+
+        P = jax.lax.dot_general(  # (L, L); K = DH unavoidable
+            dhn.astype(dtype), v.astype(dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        ) * D
+        s = jax.lax.dot_general(  # (L, L); K = DH unavoidable
+            q.astype(dtype), k.astype(dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        ) * qk_scale
+        sd = s * D
+
+        expb_row = jnp.exp(b)  # (1, L)
+        expa_row = jnp.exp(a)
+
+        # dQ^T = scale [ (P K)^T + (dhn C_prev^T ∘ e^b)^T ]
+        #      = scale [ K^T-contract(P rows) + C_prev dhn^T ∘ e^b-row ]
+        dqt = jax.lax.dot_general(  # (DHQK, L): k[m,d] P[l,m] -> (d, l)
+            k.astype(dtype), P.astype(dtype),
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        ) * qk_scale
+        dqt += jax.lax.dot_general(  # C_prev[d,v] dhn[l,v] -> (d, l)
+            C_prev.astype(dtype), dhn.astype(dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        ) * (expb_row * qk_scale)
+        dqt_ref[0, h * DHQK : (h + 1) * DHQK, :] = dqt.astype(dqt_ref.dtype)
+
+        # dK^T = scale (P^T Q)^T + (V dC_after^T ∘ e^a)^T
+        dkt = jax.lax.dot_general(  # q[m,d] P[m,l] -> (d, l)
+            q.astype(dtype), P.astype(dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ) * qk_scale
+        dkt += jax.lax.dot_general(  # dC[d,v] v[l,v] -> (d, l)
+            dC_after.astype(dtype), v.astype(dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        ) * expa_row
+        dkt_ref[0, h * DHQK : (h + 1) * DHQK, :] = dkt.astype(dkt_ref.dtype)
+
+        # dV^T = ((S ∘ D)^T dhn)^T + ((e^a k) dC_after)^T
+        dvt = jax.lax.dot_general(  # dhn[m,v] sd[m,l] -> (v, l)
+            dhn.astype(dtype), sd.astype(dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        dvt += jax.lax.dot_general(  # dC[d,v] k[l,d] -> (v, l)
+            dC_after.astype(dtype), k.astype(dtype),
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        ) * expa_row
+        dvt_ref[0, h * DHHV : (h + 1) * DHHV, :] = dvt.astype(dvt_ref.dtype)
+
+        # reverse dC recurrence: dC_{jj-1} = e^g dC_jj + Qbar^T (dH / n)
+        qbar = q.astype(f32) * (expb_row.T * qk_scale)
+        dC_prev = gbar * dC_after + jax.lax.dot_general(
+            qbar.astype(dtype), dhn.astype(dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        dc_scr[h * DHQK : (h + 1) * DHQK, :] = dC_prev
+
+        @pl.when(j == NC - 1)
+        def _final():
+            dc0_ref[0, h] = dC_prev
+
 
 def _bw_head_group(NH: int, L: int, DHQK: int, DHHV: int) -> int:
     """Largest head-group whose dQKV kernel fits scoped VMEM.
@@ -556,77 +673,76 @@ def _bw(
         else jnp.zeros((1, NH, DHQK, DHHV), f32)
     )
 
-    qkcols = lambda b, hg, j: (b, j, hg)
-    rowm = lambda b, hg, j: (b, j, hg, 0, 0)
-    smem = lambda b, hg, j: (b, j, hg, 0, 0)
     qk_rev = lambda b, hg, j: (b, NC - 1 - j, hg)
     row_rev = lambda b, hg, j: (b, NC - 1 - j, hg, 0, 0)
     smem_rev = lambda b, hg, j: (b, NC - 1 - j, hg, 0, 0)
-    st5 = lambda b, hg, j: (b, j, hg, 0, 0)
+    st5_rev = lambda b, hg, j: (b, NC - 1 - j, hg, 0, 0)
     grid = (B, HG, NC)
 
-    # 1) reverse-scan dC states
-    dc_states = pl.pallas_call(
+    transposed = BW_VARIANT == "col"
+    kernel = _bw_fused_kernel_t if transposed else _bw_fused_kernel
+    if transposed:
+        # (B, H, S) outputs: DH rides the sublane dim inside the kernel
+        # (full MXU width), one XLA transpose each back to (B, S, H)
+        grad_specs = [
+            pl.BlockSpec((1, G * DHQK, L), lambda b, hg, j: (b, hg, NC - 1 - j)),
+            pl.BlockSpec((1, G * DHQK, L), lambda b, hg, j: (b, hg, NC - 1 - j)),
+            pl.BlockSpec((1, G * DHHV, L), lambda b, hg, j: (b, hg, NC - 1 - j)),
+        ]
+        grad_shapes = [
+            jax.ShapeDtypeStruct((B, NH * DHQK, S), q.dtype),
+            jax.ShapeDtypeStruct((B, NH * DHQK, S), k.dtype),
+            jax.ShapeDtypeStruct((B, NH * DHHV, S), v.dtype),
+        ]
+    else:
+        grad_specs = [
+            pl.BlockSpec((1, L, G * DHQK), qk_rev),
+            pl.BlockSpec((1, L, G * DHQK), qk_rev),
+            pl.BlockSpec((1, L, G * DHHV), qk_rev),
+        ]
+        grad_shapes = [
+            jax.ShapeDtypeStruct((B, S, NH * DHQK), q.dtype),
+            jax.ShapeDtypeStruct((B, S, NH * DHQK), k.dtype),
+            jax.ShapeDtypeStruct((B, S, NH * DHHV), v.dtype),
+        ]
+
+    # single reverse pass: dC recurrence carried in scratch, dQ/dK/dV
+    # emitted per chunk (grid steps are sequential on the core anyway)
+    dq, dk, dv, dc0_arr = pl.pallas_call(
         functools.partial(
-            _bw_dc_kernel, G=G, L=L, S=S, DHQK=DHQK, DHHV=DHHV, NC=NC,
+            kernel, G=G, L=L, S=S, DHQK=DHQK, DHHV=DHHV, NC=NC,
             qk_scale=qk_scale, eps=eps, use_dclast=use_dclast,
             dtype=compute_dtype,
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, L, G * DHQK), qk_rev),
-            pl.BlockSpec((1, 1, 1, G, L), row_rev),
-            pl.BlockSpec((1, 1, 1, 1, G), smem_rev, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, L, G * DHQK), qk_rev),
             pl.BlockSpec((1, L, G * DHHV), qk_rev),
             pl.BlockSpec((1, 1, 1, G, L), row_rev),
+            pl.BlockSpec((1, 1, 1, G, L), row_rev),
+            pl.BlockSpec((1, 1, 1, 1, G), smem_rev, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, G, DHQK, DHHV), st5_rev),
+            pl.BlockSpec((1, 1, 1, G, L), row_rev),
+            pl.BlockSpec((1, L, G * DHHV), qk_rev),
             pl.BlockSpec(
                 (1, G, DHQK, DHHV),
                 (lambda b, hg, j: (b, hg, 0, 0)) if use_dclast else (lambda b, hg, j: (0, hg, 0, 0)),
             ),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, G, DHQK, DHHV), lambda b, hg, j: (b, NC - 1 - j, hg, 0, 0)),
+        out_specs=grad_specs + [
             pl.BlockSpec((1, G, DHQK, DHHV), lambda b, hg, j: (b, hg, 0, 0)),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, NC, NH, DHQK, DHHV), f32),
+        out_shape=grad_shapes + [
             jax.ShapeDtypeStruct((B, NH, DHQK, DHHV), f32),
         ],
         scratch_shapes=[pltpu.VMEM((G * DHQK, DHHV), f32)],
         interpret=_interpret(),
-    )(q, ffl, scaG, dh, n_out, dcl)
-    dc_states, dc0_arr = dc_states
-
-    # 2) fused per-chunk dQ/dK/dV
-    dq, dk, dv = pl.pallas_call(
-        functools.partial(
-            _bw_dqkv_kernel, G=G, L=L, S=S, DHQK=DHQK, DHHV=DHHV,
-            qk_scale=qk_scale, eps=eps, dtype=compute_dtype,
-        ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, L, G * DHQK), qkcols),
-            pl.BlockSpec((1, L, G * DHQK), qkcols),
-            pl.BlockSpec((1, L, G * DHHV), qkcols),
-            pl.BlockSpec((1, 1, 1, G, L), rowm),
-            pl.BlockSpec((1, 1, 1, G, L), rowm),
-            pl.BlockSpec((1, 1, G, DHQK, DHHV), st5),
-            pl.BlockSpec((1, 1, 1, G, L), rowm),
-            pl.BlockSpec((1, L, G * DHHV), qkcols),
-            pl.BlockSpec((1, 1, G, DHQK, DHHV), st5),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, L, G * DHQK), qkcols),
-            pl.BlockSpec((1, L, G * DHQK), qkcols),
-            pl.BlockSpec((1, L, G * DHHV), qkcols),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, S, NH * DHQK), q.dtype),
-            jax.ShapeDtypeStruct((B, S, NH * DHQK), k.dtype),
-            jax.ShapeDtypeStruct((B, S, NH * DHHV), v.dtype),
-        ],
-        interpret=_interpret(),
-    )(q, k, v, ifl, ffl, c_states, n_out, dh, dc_states)
+    )(q, k, v, ifl, ffl, scaG, c_states, n_out, dh, dcl)
+    if transposed:
+        dq = jnp.swapaxes(dq, 1, 2)
+        dk = jnp.swapaxes(dk, 1, 2)
+        dv = jnp.swapaxes(dv, 1, 2)
 
     # 3) gate grads (elementwise + cumsums over S; XLA fuses these fine)
     #    parity: ref:.../chunkwise_gates.py:75-100
