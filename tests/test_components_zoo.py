@@ -496,3 +496,46 @@ def test_dw_shift9_matches_grouped_conv():
         assert float(jnp.abs(z1 - z2).max()) < 1e-5
     finally:
         B.DW_IMPL = old
+
+
+def test_ifgate_split_matches_concat():
+    """The concat-free ifgate projection (XY_IFGATE=split) is numerically
+    equivalent to the Dense-over-concat path and param-compatible (same
+    {"ifgate": {kernel, bias}} tree) — values AND input grads."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xlstm_yolo_tpu.nn import layers as L
+
+    rng = np.random.default_rng(0)
+    B_, S, H, NH = 2, 64, 32, 4
+    q = jnp.asarray(rng.standard_normal((B_, S, H)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B_, S, H)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B_, S, H)), jnp.float32)
+    cell = L.MatrixLSTMCell(dim=H, num_heads=NH, chunk_size=16,
+                            mode="train_with_padding")
+
+    old = L.IFGATE_IMPL
+    try:
+        L.IFGATE_IMPL = "concat"
+        v1 = cell.init(jax.random.PRNGKey(0), q, k, v)
+        # the zero-init ifgate kernel hides the matmul — randomize it
+        v1 = jax.tree.map(
+            lambda x: jnp.asarray(rng.standard_normal(x.shape), x.dtype) * 0.1
+            if x.ndim == 2 else x, v1)
+
+        def f(variables, qq):
+            return cell.apply(variables, qq, k, v).astype(jnp.float32).sum()
+
+        y1 = cell.apply(v1, q, k, v)
+        g1 = jax.grad(f, argnums=1)(v1, q)
+        L.IFGATE_IMPL = "split"
+        v2 = cell.init(jax.random.PRNGKey(0), q, k, v)
+        assert jax.tree.structure(v1) == jax.tree.structure(v2)
+        y2 = cell.apply(v1, q, k, v)  # concat-init params through split
+        g2 = jax.grad(f, argnums=1)(v1, q)
+        assert float(jnp.abs(y1 - y2).max()) < 1e-5
+        assert float(jnp.abs(g1 - g2).max()) < 1e-5
+    finally:
+        L.IFGATE_IMPL = old

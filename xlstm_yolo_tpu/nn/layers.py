@@ -420,14 +420,26 @@ class MatrixLSTMCell(nn.Module):
         NH = self.num_heads
         DH = H // NH
 
-        gate_in = jnp.concatenate([q, k, v], axis=-1)
-        if_preact = nn.Dense(
-            2 * NH,
-            kernel_init=nn.initializers.zeros,
-            bias_init=_ifgate_bias_init(NH),
-            name="ifgate",
-            dtype=f32,
-        )(gate_in.astype(f32))
+        if IFGATE_IMPL == "split":
+            # concat-free gate projection: same params/math as the Dense
+            # over concat([q,k,v]), but three sliced (H, 2NH) matmuls read
+            # q/k/v directly — no (B, S, 3H) f32 concat buffer in fwd or
+            # its (B, S, 3H) cotangent in bwd (XY_IFGATE selects; flip on
+            # measurement only — scripts/exp_layer_bwd.py)
+            w, b = _IfGateParams(num_heads=NH, in_features=3 * H,
+                                 name="ifgate")()
+            wq, wk, wv = jnp.split(w, 3, axis=0)
+            if_preact = (q.astype(f32) @ wq + k.astype(f32) @ wk
+                         + v.astype(f32) @ wv + b)
+        else:
+            gate_in = jnp.concatenate([q, k, v], axis=-1)
+            if_preact = nn.Dense(
+                2 * NH,
+                kernel_init=nn.initializers.zeros,
+                bias_init=_ifgate_bias_init(NH),
+                name="ifgate",
+                dtype=f32,
+            )(gate_in.astype(f32))
         if_preact = soft_cap(if_preact, self.gate_soft_cap)
         i_pre, f_pre = jnp.split(if_preact, 2, axis=-1)  # (B, S, NH)
         cd = self.compute_dtype or q.dtype
@@ -553,6 +565,27 @@ class _MHLNParams(nn.Module):
         w = self.param("weight", nn.initializers.zeros, (self.n,), f32)
         b = (self.param("bias", nn.initializers.zeros, (self.n,), f32)
              if self.use_bias else None)
+        return w, b
+
+
+# ifgate projection implementation: "concat" (Dense over concat([q,k,v]))
+# or "split" (three sliced matmuls, no concat buffer) — param-compatible
+# (same {"ifgate": {"kernel", "bias"}} tree); selected by env like DW_IMPL
+IFGATE_IMPL = _os.environ.get("XY_IFGATE", "concat")
+
+
+class _IfGateParams(nn.Module):
+    """Declares the ifgate Dense's params (same names/shapes/init)."""
+
+    num_heads: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        w = self.param("kernel", nn.initializers.zeros,
+                       (self.in_features, 2 * self.num_heads), f32)
+        b = self.param("bias", _ifgate_bias_init(self.num_heads),
+                       (2 * self.num_heads,), f32)
         return w, b
 
 
