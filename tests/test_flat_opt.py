@@ -64,6 +64,46 @@ def test_flat_matches_tree_updates(name, warmup):
             err_msg=f"{name} warmup={warmup} step {i}")
 
 
+@pytest.mark.parametrize("name", ["SGD", "AdamW", "Adam", "AdEMAMix"])
+@pytest.mark.parametrize("warmup", [0, 4])
+def test_hybrid_matches_tree_updates(name, warmup):
+    """build_hybrid_optimizer (flat replicated block + per-leaf sharded
+    leaves, joint global-norm clip) reproduces the tree chain."""
+    params = _params(jax.random.PRNGKey(0))
+    # mark one big kernel and one bias as 'model'-sharded: exercises the
+    # per-leaf decay path and the sharded-bias warmup-lr path
+    smask = jax.tree_util.tree_map_with_path(
+        lambda p, l: (p[-1].key == "kernel" and l.shape == (32, 8))
+        or (p[0].key == "lin" and p[-1].key == "bias"), params)
+    sched = opt_lib.cosine_lr(0.01, 0.1, epochs=5, steps_per_epoch=4)
+    kw = dict(name=name, lr=0.01, momentum=0.9, weight_decay=5e-4,
+              schedule=sched, iterations=20, clip_norm=1.0,
+              warmup_steps=warmup)
+    tx_t, _, _ = opt_lib.build_optimizer(params, **kw)
+    tx_h, _, _ = opt_lib.build_hybrid_optimizer(params, smask, **kw)
+
+    flat0, shard0, split, rebuild = opt_lib.partition_params(params, smask)
+    assert len(shard0) == 2 and flat0.size == ravel_pytree(params)[0].size - sum(
+        s.size for s in shard0)
+    # rebuild inverts split
+    np.testing.assert_allclose(
+        ravel_pytree(rebuild(flat0, shard0))[0], ravel_pytree(params)[0])
+
+    st_t, st_h = tx_t.init(params), tx_h.init((flat0, shard0))
+    p_t, p_h = params, (flat0, shard0)
+    for i in range(9):
+        g_t = jax.tree.map(lambda p: jnp.sin(p * (i + 1.0)) + 0.01 * p, p_t)
+        g_h = split(g_t)
+        u_t, st_t = tx_t.update(g_t, st_t, p_t)
+        u_h, st_h = tx_h.update(g_h, st_h, p_h)
+        p_t = optax.apply_updates(p_t, u_t)
+        p_h = (p_h[0] + u_h[0],
+               tuple(p + u for p, u in zip(p_h[1], u_h[1])))
+        np.testing.assert_allclose(
+            ravel_pytree(p_t)[0], ravel_pytree(rebuild(*p_h))[0],
+            rtol=3e-5, atol=3e-7, err_msg=f"{name} warmup={warmup} step {i}")
+
+
 def test_flat_rmsprop_falls_back():
     params = _params(jax.random.PRNGKey(1))
     with pytest.raises(NotImplementedError):

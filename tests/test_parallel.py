@@ -122,6 +122,84 @@ def test_flat_state_dp_matches_single_device():
     assert worst < 5e-3, f"max flat-param divergence {worst}"
 
 
+@pytest.mark.slow
+def test_hybrid_state_tp_matches_tree_tp():
+    """HybridTrainState (flat replicated block + sharded leaves) on the
+    4x2 (data x model) mesh: one step must match the tree-path TP step —
+    the trainer's XY_TP>1 + flat-opt configuration."""
+    from xlstm_yolo_tpu.engine import optimizers as opt_lib
+    from xlstm_yolo_tpu.engine.steps import HybridTrainState, make_train_step
+    from xlstm_yolo_tpu.nn.tasks import build_detection_model
+
+    n_data, n_model = 4, 2
+    mesh = mesh_lib.make_mesh(n_data=n_data, n_model=n_model)
+    model, d = build_detection_model(TINY, training=True)
+    B, M = 8, 8
+    batch = {
+        "img": jnp.linspace(0, 1, B * 160 * 160 * 3, dtype=jnp.float32)
+        .reshape(B, 160, 160, 3),
+        "cls": jnp.zeros((B, M), jnp.int32),
+        "bboxes": jnp.tile(jnp.asarray([10.0, 10.0, 80.0, 90.0]), (B, M, 1)),
+        "mask": jnp.ones((B, M), bool).at[:, 4:].set(False),
+    }
+    rng = jax.random.PRNGKey(0)
+    variables = jax.jit(model.init)({"params": rng, "droppath": rng}, batch["img"])
+    # no warmup here: AdEMAMix updates are sign-normalized, so a near-zero
+    # bias gradient's sign noise between two different compiled programs
+    # moves the param by the full lr — warmup's 0.1 bias lr would put that
+    # noise ceiling at ~0.13 (observed 0.093). The warmup/bias-group math
+    # itself is locked elementwise by test_flat_opt.test_hybrid_matches_*.
+    kw = dict(name="AdEMAMix", lr=1e-3, iterations=10, nc=d.get("nc", 80))
+
+    smask = mesh_lib.sharded_mask(variables["params"], n_model)
+    assert sum(map(bool, jax.tree.leaves(smask))) > 0, "nothing sharded"
+    tx_h, _, _ = opt_lib.build_hybrid_optimizer(variables["params"], smask, **kw)
+    st_h = HybridTrainState.create(variables, tx_h, smask)
+    param_sh = mesh_lib.make_param_shardings(mesh, variables["params"])
+    sh_tuple = tuple(s for s, m in zip(jax.tree.leaves(param_sh),
+                                       jax.tree.leaves(smask)) if m)
+    st_h = st_h.replace(
+        sharded_params=jax.device_put(st_h.sharded_params, sh_tuple),
+        ema_sharded=jax.device_put(st_h.ema_sharded, sh_tuple),
+    )
+    batch_sh = jax.device_put(batch, mesh_lib.make_batch_sharding(mesh, batch))
+    step_h = jax.jit(make_train_step(model, tx_h, nc=d.get("nc", 80)))
+    with mesh:
+        st_h, m_h = step_h(st_h, batch_sh, rng)
+        jax.block_until_ready(st_h.flat_params)
+
+    # tree-path TP reference
+    from xlstm_yolo_tpu.engine.steps import TrainState
+
+    tx_t, _, _ = opt_lib.build_optimizer(variables["params"], **kw)
+    st_t = TrainState.create(variables, tx_t)
+    st_t = st_t.replace(
+        params=jax.device_put(st_t.params, param_sh),
+        ema=st_t.ema._replace(params=jax.device_put(st_t.ema.params, param_sh)),
+    )
+    step_t = jax.jit(make_train_step(model, tx_t, nc=d.get("nc", 80)))
+    with mesh:
+        st_t, m_t = step_t(st_t, batch_sh, rng)
+        jax.block_until_ready(st_t.params)
+
+    assert float(m_h["loss"]) == pytest.approx(float(m_t["loss"]), rel=2e-4)
+    p_h = jax.tree.leaves(jax.device_get(st_h.params))
+    p_t = jax.tree.leaves(jax.device_get(st_t.params))
+    worst = max(
+        float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))))
+        for a, b in zip(p_h, p_t)
+    )
+    assert worst < 5e-3, f"max param divergence {worst}"
+    # EMA agrees too (exercises the hybrid's split EMA)
+    e_h = jax.tree.leaves(jax.device_get(st_h.ema.params))
+    e_t = jax.tree.leaves(jax.device_get(st_t.ema.params))
+    worst_e = max(
+        float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))))
+        for a, b in zip(e_h, e_t)
+    )
+    assert worst_e < 5e-3, f"max EMA divergence {worst_e}"
+
+
 def test_param_pspec_rules():
     """Column/row-parallel rules map the ViL projection names correctly."""
     import numpy as np

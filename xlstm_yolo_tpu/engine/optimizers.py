@@ -333,15 +333,7 @@ def build_flat_optimizer(
         return sched(s) if callable(sched) else jnp.asarray(sched, f32)
 
     adamix = name == "AdEMAMix"
-    b2 = 0.999
-    b3, alpha, eps = 0.9999, 8.0, 1e-8
-
-    def beta3_t(step):
-        def f(beta):
-            return jnp.log(0.5) / jnp.log(beta + 1e-8) - 1
-        a = jnp.minimum(step / float(max(iterations, 1)), 1.0)
-        t = (1 - a) * f(jnp.asarray(momentum, f32)) + a * f(jnp.asarray(b3, f32))
-        return jnp.power(0.5, 1.0 / (t + 1))
+    core = _opt_core(name, momentum, iterations, weight_decay)
 
     def init(flat_params):
         z = jnp.zeros_like(flat_params)
@@ -357,44 +349,244 @@ def build_flat_optimizer(
         # clip_by_global_norm (optax semantics: scale only when over)
         gnorm = jnp.sqrt(jnp.sum(g.astype(f32) ** 2))
         g = jnp.where(gnorm < clip_norm, g, g / gnorm * clip_norm)
-        lr_el = jnp.where(bias_mask, at_step(lr_bias, t), at_step(lr_main, t)) if warm \
+        t1 = t + 1.0
+        lr_t = jnp.where(bias_mask, at_step(lr_bias, t), at_step(lr_main, t)) if warm \
             else at_step(lr_main, t)
+        lr_t1 = jnp.where(bias_mask, at_step(lr_bias, t1), at_step(lr_main, t1)) if warm \
+            else at_step(lr_main, t1)
         wd_el = jnp.where(wd_mask, weight_decay, 0.0) if weight_decay else 0.0
         if warm and weight_decay:
             wd_el = jnp.where(bias_mask, 0.0, wd_el)  # bias group trains wd-free
 
+        upd, mu, nu, ms = core(
+            g, p, state.mu, state.nu, state.ms, t, lr_t, lr_t1, wd_el,
+            at_step(mom_s, t),
+        )
+        return upd, FlatOptState(state.count + 1, mu, nu, ms)
+
+    return optax.GradientTransformation(init, update), lr, name
+
+
+def _opt_core(name: str, momentum: float, iterations: int, weight_decay: float):
+    """Elementwise optimizer math shared by the flat and hybrid builders.
+
+    ``core(g, p, mu, nu, ms, t, lr_t, lr_t1, wd_el, mom_t)`` ->
+    ``(update, mu', nu', ms')`` where ``lr_t``/``wd_el`` may be scalars
+    (one tree leaf) or elementwise masks (the flat vector).  Semantics
+    are locked against the optax tree chain by tests/test_flat_opt.py.
+    """
+    adamix = name == "AdEMAMix"
+    b2, b3, alpha, eps = 0.999, 0.9999, 8.0, 1e-8
+
+    def beta3_t(step):
+        def f(beta):
+            return jnp.log(0.5) / jnp.log(beta + 1e-8) - 1
+        a = jnp.minimum(step / float(max(iterations, 1)), 1.0)
+        t = (1 - a) * f(jnp.asarray(momentum, f32)) + a * f(jnp.asarray(b3, f32))
+        return jnp.power(0.5, 1.0 / (t + 1))
+
+    def core(g, p, mu, nu, ms, t, lr_t, lr_t1, wd_el, mom_t):
         if name == "SGD":
             # chain parity: add_decayed_weights BEFORE the momentum buffer
             gw = g + wd_el * p if weight_decay else g
-            m = at_step(mom_s, t)
-            trace = gw + m * state.mu
-            upd = -(lr_el * (gw + m * trace))  # nesterov
-            return upd, FlatOptState(state.count + 1, trace, (), ())
+            trace = gw + mom_t * mu
+            return -(lr_t * (gw + mom_t * trace)), trace, (), ()  # nesterov
 
         t1 = t + 1.0
         if adamix:
             # parity with ademamix() above: schedules/bc at step = count+1
             b3t = beta3_t(t1)
             at = jnp.minimum(t1 / float(max(iterations, 1)), 1.0) * alpha
-            mf = momentum * state.mu + (1 - momentum) * g
-            ms = b3t * state.ms + (1 - b3t) * g
-            nu = b2 * state.nu + (1 - b2) * g * g
-            upd = (mf / (1 - momentum ** t1) + at * ms) / (
-                jnp.sqrt(nu / (1 - b2 ** t1)) + eps)
+            mf = momentum * mu + (1 - momentum) * g
+            msl = b3t * ms + (1 - b3t) * g
+            nu2 = b2 * nu + (1 - b2) * g * g
+            upd = (mf / (1 - momentum ** t1) + at * msl) / (
+                jnp.sqrt(nu2 / (1 - b2 ** t1)) + eps)
             if weight_decay:
                 upd = upd + wd_el * p
-            lr1 = jnp.where(bias_mask, at_step(lr_bias, t1), at_step(lr_main, t1)) if warm \
-                else at_step(lr_main, t1)
-            return -(lr1 * upd), FlatOptState(state.count + 1, mf, nu, ms)
+            return -(lr_t1 * upd), mf, nu2, msl
 
         # Adam / AdamW (optax.scale_by_adam: bias correction at count+1,
         # lr schedule at count; AdamW adds decoupled wd inside the lr scale)
-        m = momentum * state.mu + (1 - momentum) * g
-        nu = b2 * state.nu + (1 - b2) * g * g
-        upd = (m / (1 - momentum ** t1)) / (jnp.sqrt(nu / (1 - b2 ** t1)) + 1e-8)
+        m = momentum * mu + (1 - momentum) * g
+        nu2 = b2 * nu + (1 - b2) * g * g
+        upd = (m / (1 - momentum ** t1)) / (jnp.sqrt(nu2 / (1 - b2 ** t1)) + 1e-8)
         if name == "AdamW" and weight_decay:
             upd = upd + wd_el * p
-        return -(lr_el * upd), FlatOptState(state.count + 1, m, nu, ())
+        return -(lr_t * upd), m, nu2, ()
+
+    return core
+
+
+class HybridOptState(NamedTuple):
+    """Flat-block moments + per-sharded-leaf moment tuples."""
+
+    count: jax.Array
+    mu: Any
+    nu: Any
+    ms: Any
+    s_mu: Any
+    s_nu: Any
+    s_ms: Any
+
+
+def partition_params(params, sharded_tree):
+    """Split ``params`` by ``sharded_tree`` (bool pytree, True = leaf is
+    'model'-axis sharded) -> (flat_f32_vector_of_replicated_leaves,
+    tuple_of_sharded_leaves, split_fn, rebuild_fn).
+
+    The flat vector concatenates replicated leaves in tree-flatten order
+    (ravel_pytree convention); sharded leaves stay whole so their
+    NamedShardings survive the optimizer untouched.
+    """
+    import numpy as np
+
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    smask = tuple(bool(s) for s in jax.tree.leaves(sharded_tree))
+    assert len(smask) == len(leaves), "sharded mask does not align with params"
+    shapes = [l.shape for l in leaves]
+    dtypes = [l.dtype for l in leaves]
+    sizes = [int(np.prod(s)) for s, m in zip(shapes, smask) if not m]
+    offs = np.concatenate([[0], np.cumsum(sizes)]).astype(int)
+
+    def split(tree):
+        lv = jax.tree_util.tree_flatten(tree)[0]
+        repl = [jnp.ravel(l).astype(f32) for l, m in zip(lv, smask) if not m]
+        flat = jnp.concatenate(repl) if repl else jnp.zeros((0,), f32)
+        return flat, tuple(l for l, m in zip(lv, smask) if m)
+
+    def rebuild(flat, shard):
+        out, it, k = [], iter(shard), 0
+        for i, m in enumerate(smask):
+            if m:
+                out.append(next(it))
+            else:
+                out.append(
+                    flat[offs[k]:offs[k + 1]].reshape(shapes[i]).astype(dtypes[i]))
+                k += 1
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    flat0, shard0 = split(params)
+    return flat0, shard0, split, rebuild
+
+
+def build_hybrid_optimizer(
+    params,
+    sharded_tree,
+    name: str = "auto",
+    lr: float = 0.01,
+    momentum: float = 0.937,
+    weight_decay: float = 5e-4,
+    schedule=None,
+    iterations: int = 10000,
+    nc: int = 80,
+    clip_norm: float = 10.0,
+    warmup_steps: int = 0,
+    warmup_momentum: float = 0.8,
+    warmup_bias_lr: float = 0.1,
+    bias_schedule=None,
+) -> tuple[optax.GradientTransformation, float, str]:
+    """``build_flat_optimizer`` for a tensor-parallel param tree.
+
+    Replicated leaves ride ONE flat f32 vector (the fused-elementwise win
+    of the flat path); 'model'-axis-sharded leaves keep their own moment
+    buffers, which inherit the leaf's NamedSharding so the optimizer
+    never gathers a sharded kernel.  Grads/params/updates travel as the
+    pair ``(flat_vector, tuple_of_sharded_leaves)``; global-norm clipping
+    sums squares across BOTH parts so the math matches the tree chain's
+    clip_by_global_norm exactly.  Same optimizer support as the flat
+    builder (RMSProp raises; caller falls back to the tree path).
+    """
+    if name == "auto":
+        lr_fit = round(0.002 * 5 / (4 + nc), 6)
+        name, lr, momentum = ("SGD", 0.01, 0.9) if iterations > 10000 else ("AdamW", lr_fit, 0.9)
+    if name == "RMSProp":
+        raise NotImplementedError("hybrid RMSProp: use build_optimizer")
+
+    import numpy as np
+
+    leaves = jax.tree.leaves(params)
+    smask = [bool(s) for s in jax.tree.leaves(sharded_tree)]
+    wd_leaf = [bool(w) for w in jax.tree.leaves(decay_mask_fn(params))]
+    bias_leaf = [lab == "bias" for lab in jax.tree.leaves(bias_label_fn(params))]
+    repl = [(int(np.prod(l.shape)), w, b)
+            for l, m, w, b in zip(leaves, smask, wd_leaf, bias_leaf) if not m]
+    wd_mask = jnp.asarray(
+        np.concatenate([np.full(n, w) for n, w, _ in repl])
+        if repl else np.zeros(0, bool))
+    bias_mask = jnp.asarray(
+        np.concatenate([np.full(n, b) for n, _, b in repl])
+        if repl else np.zeros(0, bool))
+    s_wd = tuple(w for m, w in zip(smask, wd_leaf) if m)
+    s_bias = tuple(b for m, b in zip(smask, bias_leaf) if m)
+
+    warm = warmup_steps > 0
+    lr_main = schedule if schedule is not None else lr
+    if warm:
+        lr_main = warmup_wrap(lr_main, warmup_steps, 0.0)
+        lr_bias = bias_schedule if bias_schedule is not None else warmup_wrap(
+            schedule if schedule is not None else lr, warmup_steps, warmup_bias_lr
+        )
+        mom_s = warmup_wrap(momentum, warmup_steps, warmup_momentum)
+    else:
+        lr_bias, mom_s = lr_main, momentum
+
+    def at_step(sched, s):
+        return sched(s) if callable(sched) else jnp.asarray(sched, f32)
+
+    adamix = name == "AdEMAMix"
+    core = _opt_core(name, momentum, iterations, weight_decay)
+
+    def init(p2):
+        flat, shard = p2
+        z = jnp.zeros_like(flat)
+        zs = tuple(jnp.zeros_like(x) for x in shard)
+        e = tuple(() for _ in shard)
+        if name == "SGD":
+            return HybridOptState(jnp.zeros([], jnp.int32), z, (), (), zs, e, e)
+        if adamix:
+            return HybridOptState(jnp.zeros([], jnp.int32), z, z, z, zs, zs, zs)
+        return HybridOptState(jnp.zeros([], jnp.int32), z, z, (), zs, zs, e)
+
+    def update(g2, state: HybridOptState, p2):
+        gf, gs = g2
+        pf, ps = p2
+        t = state.count.astype(f32)
+        # joint clip_by_global_norm over flat + sharded parts (the sum of
+        # per-shard partial squares is replicated by XLA's psum)
+        sq = jnp.sum(gf.astype(f32) ** 2) + sum(
+            jnp.sum(x.astype(f32) ** 2) for x in gs)
+        gnorm = jnp.sqrt(sq)
+        cs = jnp.where(gnorm < clip_norm, 1.0, clip_norm / gnorm)
+        gf = gf * cs
+        gs = tuple(x * cs for x in gs)
+
+        t1 = t + 1.0
+        lm_t, lm_t1 = at_step(lr_main, t), at_step(lr_main, t1)
+        lb_t = at_step(lr_bias, t) if warm else lm_t
+        lb_t1 = at_step(lr_bias, t1) if warm else lm_t1
+        mom_t = at_step(mom_s, t)
+
+        lr_t = jnp.where(bias_mask, lb_t, lm_t) if warm else lm_t
+        lr_t1 = jnp.where(bias_mask, lb_t1, lm_t1) if warm else lm_t1
+        wd_el = jnp.where(wd_mask, weight_decay, 0.0) if weight_decay else 0.0
+        uf, mu, nu, ms = core(gf, pf, state.mu, state.nu, state.ms, t,
+                              lr_t, lr_t1, wd_el, mom_t)
+
+        us, smu, snu, sms = [], [], [], []
+        for i, gx in enumerate(gs):
+            lt = lb_t if (warm and s_bias[i]) else lm_t
+            lt1 = lb_t1 if (warm and s_bias[i]) else lm_t1
+            wd_i = weight_decay if s_wd[i] else 0.0
+            u, m2, n2, s2 = core(gx, ps[i], state.s_mu[i], state.s_nu[i],
+                                 state.s_ms[i], t, lt, lt1, wd_i, mom_t)
+            us.append(u)
+            smu.append(m2)
+            snu.append(n2)
+            sms.append(s2)
+        new = HybridOptState(state.count + 1, mu, nu, ms,
+                             tuple(smu), tuple(snu), tuple(sms))
+        return (uf, tuple(us)), new
 
     return optax.GradientTransformation(init, update), lr, name
 

@@ -102,6 +102,69 @@ class FlatTrainState(struct.PyTreeNode):
         )
 
 
+class HybridTrainState(struct.PyTreeNode):
+    """FlatTrainState for tensor-parallel runs: replicated param leaves
+    ride the flat f32 vector (fused optimizer+EMA elementwise program),
+    'model'-axis-sharded leaves stay whole in ``sharded_params`` so their
+    NamedShardings survive — the TP analog of the pure-DP flat path
+    (optimizers.build_hybrid_optimizer).  ``rebuild``/``split`` are the
+    static closures from optimizers.partition_params.
+    """
+
+    step: jax.Array
+    flat_params: jax.Array
+    sharded_params: Any  # tuple of sharded leaves
+    batch_stats: Any
+    opt_state: Any
+    ema_flat: jax.Array
+    ema_sharded: Any
+    ema_updates: jax.Array
+    rebuild: Any = struct.field(pytree_node=False)
+    split: Any = struct.field(pytree_node=False)
+
+    # duck-typed surface of TrainState (val / checkpointing / export)
+    @property
+    def params(self):
+        return self.rebuild(self.flat_params, self.sharded_params)
+
+    @property
+    def ema(self):
+        return opt_lib.EMAState(
+            self.rebuild(self.ema_flat, self.ema_sharded), self.ema_updates)
+
+    @classmethod
+    def create(cls, variables, tx, sharded_tree):
+        flat, shard, split, rebuild = opt_lib.partition_params(
+            variables["params"], sharded_tree)
+        return cls(
+            step=jnp.zeros([], jnp.int32),
+            flat_params=flat,
+            sharded_params=shard,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init((flat, shard)),
+            ema_flat=flat,
+            ema_sharded=shard,
+            ema_updates=jnp.zeros([], jnp.int32),
+            rebuild=rebuild,
+            split=split,
+        )
+
+    def load_tree(self, tree):
+        """Restore from the tree-form checkpoint layout (utils/checkpoint)."""
+        pf, psh = self.split(tree["params"])
+        ef, esh = self.split(tree["ema_params"])
+        return self.replace(
+            step=tree["step"],
+            flat_params=pf,
+            sharded_params=psh,
+            batch_stats=tree["batch_stats"],
+            opt_state=tree["opt_state"],
+            ema_flat=ef,
+            ema_sharded=esh,
+            ema_updates=tree["ema_updates"],
+        )
+
+
 def make_train_step(
     model_train,
     tx: optax.GradientTransformation,
@@ -231,6 +294,7 @@ def make_train_step(
 
     def train_step(state, batch, rng):
         flat = isinstance(state, FlatTrainState)
+        hybrid = isinstance(state, HybridTrainState)
         if flat:
             # differentiate wrt the flat vector: loss_fn sees the tree
             # view; AD transposes the unravel slices into a flat grad
@@ -239,6 +303,12 @@ def make_train_step(
                 lambda fp, bs, b, r: loss_fn(unravel(fp), bs, b, r),
                 has_aux=True)
             p0 = state.flat_params
+        elif hybrid:
+            rebuild = state.rebuild
+            gfn = jax.value_and_grad(
+                lambda pr, bs, b, r: loss_fn(rebuild(*pr), bs, b, r),
+                has_aux=True)
+            p0 = (state.flat_params, state.sharded_params)
         else:
             gfn, p0 = grad_fn, state.params
 
@@ -278,6 +348,23 @@ def make_train_step(
                 batch_stats=new_bs,
                 opt_state=new_opt,
                 ema_flat=state.ema_flat * d + (1 - d) * new_flat,
+                ema_updates=state.ema_updates + 1,
+            )
+        elif hybrid:
+            uf, us = updates
+            new_flat = state.flat_params + uf
+            new_shard = tuple(p + u for p, u in zip(state.sharded_params, us))
+            d = opt_lib.ema_decay_at(state.ema_updates + 1, decay=ema_decay)
+            new_state = state.replace(
+                step=state.step + 1,
+                flat_params=new_flat,
+                sharded_params=new_shard,
+                batch_stats=new_bs,
+                opt_state=new_opt,
+                ema_flat=state.ema_flat * d + (1 - d) * new_flat,
+                ema_sharded=tuple(
+                    e * d + (1 - d) * p
+                    for e, p in zip(state.ema_sharded, new_shard)),
                 ema_updates=state.ema_updates + 1,
             )
         else:

@@ -26,7 +26,12 @@ from xlstm_yolo_tpu.cfg import get_cfg
 from xlstm_yolo_tpu.data.build import build_dataloader, build_yolo_dataset
 from xlstm_yolo_tpu.data.dataset import check_det_dataset
 from xlstm_yolo_tpu.engine import optimizers as opt_lib
-from xlstm_yolo_tpu.engine.steps import FlatTrainState, TrainState, make_train_step
+from xlstm_yolo_tpu.engine.steps import (
+    FlatTrainState,
+    HybridTrainState,
+    TrainState,
+    make_train_step,
+)
 from xlstm_yolo_tpu.engine.validator import DetectionValidator
 from xlstm_yolo_tpu.nn.tasks import build_detection_model
 from xlstm_yolo_tpu.parallel import mesh as mesh_lib
@@ -135,7 +140,11 @@ class DetectionTrainer:
         imgsz = int(args.imgsz)
         batch = int(args.batch)
 
-        mesh = mesh_lib.make_mesh(n_model=1)
+        # XY_TP > 1 adds tensor parallelism on the 'model' axis (column/
+        # row-parallel ViL projections, parallel/mesh.py) — the TPU-native
+        # extension beyond the reference's DDP; default is pure DP.
+        n_model = int(os.environ.get("XY_TP", "1") or 1)
+        mesh = mesh_lib.make_mesh(n_model=n_model)
         n_data = mesh.shape[mesh_lib.DATA_AXIS]
         if batch % n_data:
             batch = max(n_data, batch - batch % n_data)
@@ -200,34 +209,66 @@ class DetectionTrainer:
             warmup_bias_lr=float(getattr(args, "warmup_bias_lr", 0.1)),
         )
         # flat-buffer optimizer+EMA (one fused vector program instead of
-        # ~8 small fusions per param leaf) — pure-DP only; XY_FLAT_OPT=0
-        # forces the per-leaf tree path
-        flat_ok = (mesh.shape[mesh_lib.MODEL_AXIS] == 1
-                   and os.environ.get("XY_FLAT_OPT", "1") != "0")
+        # ~8 small fusions per param leaf); under TP the hybrid keeps the
+        # 'model'-sharded leaves as per-leaf buffers and ravels the rest.
+        # XY_FLAT_OPT=0 forces the per-leaf tree path.
+        flat_req = os.environ.get("XY_FLAT_OPT", "1") != "0"
+        flat_ok = flat_req and n_model == 1
+        hybrid_ok = flat_req and n_model > 1
+        shard_mask = None
         if flat_ok:
             try:
                 tx, lr0, opt_name = opt_lib.build_flat_optimizer(
                     variables["params"], **opt_kw)
             except NotImplementedError:
                 flat_ok = False
-        if not flat_ok:
+        elif hybrid_ok:
+            shard_mask = mesh_lib.sharded_mask(variables["params"], n_model)
+            try:
+                tx, lr0, opt_name = opt_lib.build_hybrid_optimizer(
+                    variables["params"], shard_mask, **opt_kw)
+            except NotImplementedError:
+                hybrid_ok = False
+        if not (flat_ok or hybrid_ok):
             tx, lr0, opt_name = opt_lib.build_optimizer(
                 variables["params"], **opt_kw)
-        state_cls = FlatTrainState if flat_ok else TrainState
-        state = state_cls.create(variables, tx)
+        if flat_ok:
+            state = FlatTrainState.create(variables, tx)
+        elif hybrid_ok:
+            state = HybridTrainState.create(variables, tx, shard_mask)
+        else:
+            state = TrainState.create(variables, tx)
+        if n_model > 1:
+            # place the 'model'-sharded leaves (flat/replicated parts get
+            # the default replication; XLA propagates to grads/opt-state)
+            param_sh = mesh_lib.make_param_shardings(mesh, variables["params"])
+            if hybrid_ok:
+                sh_tuple = tuple(
+                    s for s, m in zip(jax.tree.leaves(param_sh),
+                                      jax.tree.leaves(shard_mask)) if m)
+                state = state.replace(
+                    sharded_params=jax.device_put(state.sharded_params, sh_tuple),
+                    ema_sharded=jax.device_put(state.ema_sharded, sh_tuple),
+                )
+            elif isinstance(state, TrainState):
+                state = state.replace(
+                    params=jax.device_put(state.params, param_sh),
+                    ema=state.ema._replace(
+                        params=jax.device_put(state.ema.params, param_sh)),
+                )
         if args.resume:
             try:
                 state, self.start_epoch, self.best_fitness = load_checkpoint(
                     self.wdir / "last", state
                 )
             except Exception:
-                if not flat_ok:
+                if not (flat_ok or hybrid_ok):
                     raise
                 # pre-flat checkpoint: opt_state is the tree-optimizer
                 # layout — resume on the tree path instead
                 print("resume: checkpoint has a tree opt_state; "
                       "falling back to the per-leaf optimizer")
-                flat_ok = False
+                flat_ok = hybrid_ok = False
                 tx, lr0, opt_name = opt_lib.build_optimizer(
                     variables["params"], **opt_kw)
                 state = TrainState.create(variables, tx)

@@ -66,6 +66,13 @@ def param_pspec(path: tuple, leaf, n_model: int) -> P:
     return P()
 
 
+def sharded_mask(tree: Any, n_model: int) -> Any:
+    """Bool pytree: True where param_pspec puts the leaf on 'model'."""
+    return jax.tree_util.tree_map_with_path(
+        lambda p, l: param_pspec(p, l, n_model) != P(), tree
+    )
+
+
 def make_param_shardings(mesh: Mesh, tree: Any) -> Any:
     n_model = mesh.shape[MODEL_AXIS]
     return jax.tree_util.tree_map_with_path(
