@@ -81,6 +81,21 @@ def main():
         b["out"], b["cls"], b["bboxes"], b["mask"], STRIDES, nc=nc)[0])
     timeit("e2e_loss", e2e)
 
+    from xlstm_yolo_tpu.utils.loss import _e2e_detect_loss_batched
+
+    e2e_b = jax.jit(lambda b: _e2e_detect_loss_batched(
+        b["out"], b["cls"], b["bboxes"], b["mask"], STRIDES, nc=nc)[0])
+    timeit("e2e_batched", e2e_b)
+
+    # grad-through versions (the train step differentiates the loss wrt
+    # the feature maps — backward fusion count matters too)
+    e2e_g = jax.jit(jax.grad(lambda o, b: e2e_detect_loss(
+        o, b["cls"], b["bboxes"], b["mask"], STRIDES, nc=nc)[0]))
+    timeit("e2e_loss_grad", lambda b: e2e_g(b["out"], b))
+    e2e_bg = jax.jit(jax.grad(lambda o, b: _e2e_detect_loss_batched(
+        o, b["cls"], b["bboxes"], b["mask"], STRIDES, nc=nc)[0]))
+    timeit("e2e_batched_grad", lambda b: e2e_bg(b["out"], b))
+
     v8 = jax.jit(lambda b: v8_detection_loss(
         b["out"]["one2many"], b["cls"], b["bboxes"], b["mask"], STRIDES,
         nc=nc, tal_topk=10)[0])

@@ -200,3 +200,59 @@ def test_topk_select_mask_matches_lax_topk():
         want = np.zeros_like(got)
         np.put_along_axis(want, np.asarray(idx), True, axis=-1)
         np.testing.assert_array_equal(got, want)
+
+    # per-sample k (k_arr): each sample b selects exactly its top-k_arr[b]
+    m = jnp.asarray(rng.uniform(0, 1, (4, 6, A)).astype(np.float32))
+    k_arr = jnp.asarray([10, 1, 3, 10], jnp.int32)
+    got = np.asarray(topk_select_mask(m, 10, k_arr=k_arr))
+    for b in range(4):
+        kb = int(k_arr[b])
+        _, idx = jax.lax.top_k(m[b], kb)
+        want = np.zeros((6, A), bool)
+        np.put_along_axis(want, np.asarray(idx), True, axis=-1)
+        np.testing.assert_array_equal(got[b], want, err_msg=f"sample {b}")
+
+
+def test_e2e_batched_matches_two_pass(monkeypatch):
+    """_e2e_detect_loss_batched (stacked one2many+one2one, per-sample
+    top-k) == the two v8 passes: totals, items, and grads wrt the raw
+    feature maps."""
+    import jax
+    import jax.numpy as jnp
+
+    from xlstm_yolo_tpu.utils import loss as loss_lib
+
+    rng = np.random.default_rng(1)
+    B, M, nc, reg_max = 2, 8, 7, 16
+    no = nc + 4 * reg_max
+    shapes = [(16, 16), (8, 8), (4, 4)]
+    strides = [8.0, 16.0, 32.0]
+
+    def mk_feats():
+        return [jnp.asarray(rng.standard_normal((B, h, w, no)), jnp.float32)
+                for h, w in shapes]
+
+    preds = {"one2many": mk_feats(), "one2one": mk_feats()}
+    cls = jnp.asarray(rng.integers(0, nc, (B, M)), jnp.int32)
+    xy = jnp.asarray(rng.uniform(10, 60, (B, M, 2)), jnp.float32)
+    wh = jnp.asarray(rng.uniform(10, 50, (B, M, 2)), jnp.float32)
+    bb = jnp.concatenate([xy, xy + wh], -1)
+    mask = jnp.ones((B, M), bool).at[:, 5:].set(False)
+
+    def run(batched):
+        monkeypatch.setenv("XY_E2E_BATCHED", "1" if batched else "0")
+
+        def f(p):
+            return loss_lib.e2e_detect_loss(p, cls, bb, mask, strides, nc=nc)
+
+        g = jax.grad(lambda p: f(p)[0])(preds)
+        return f(preds), g
+
+    (t0, it0), g0 = run(False)
+    (t1, it1), g1 = run(True)
+    np.testing.assert_allclose(float(t0), float(t1), rtol=1e-5)
+    for a, b in zip(it0, it1):
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)

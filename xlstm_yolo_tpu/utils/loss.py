@@ -9,6 +9,7 @@ jits with static shapes.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Sequence
 
 import jax
@@ -132,7 +133,14 @@ def e2e_detect_loss(
     nc: int = 80,
     **kw,
 ):
-    """one2many (topk 10) + one2one (topk 1) sum (parity: loss.py:728-743)."""
+    """one2many (topk 10) + one2one (topk 1) sum (parity: loss.py:728-743).
+
+    XY_E2E_BATCHED=1 routes to the stacked single-pass form (identical
+    math, ~half the XLA kernel count — see _e2e_detect_loss_batched).
+    """
+    if os.environ.get("XY_E2E_BATCHED", "0") == "1":
+        return _e2e_detect_loss_batched(
+            preds, gt_labels, gt_bboxes, mask_gt, strides, nc=nc, **kw)
     l_m, it_m = v8_detection_loss(
         preds["one2many"], gt_labels, gt_bboxes, mask_gt, strides, nc=nc, tal_topk=10, **kw
     )
@@ -141,6 +149,84 @@ def e2e_detect_loss(
     )
     items = LossItems(*(a + b for a, b in zip(it_m, it_o)))
     return l_m + l_o, items
+
+
+def _e2e_detect_loss_batched(
+    preds: dict,
+    gt_labels,
+    gt_bboxes,
+    mask_gt,
+    strides,
+    nc: int = 80,
+    reg_max: int = 16,
+    box_gain: float = 7.5,
+    cls_gain: float = 0.5,
+    dfl_gain: float = 1.5,
+):
+    """e2e_detect_loss computed as ONE stacked v8 pass over (2B, ...).
+
+    The one2many and one2one losses run identical per-sample code on the
+    same gts — only the assigner's top-k (10 vs 1) and the normalizing
+    sums differ.  Stacking both heads along batch halves the XLA kernel
+    count of the whole loss section (the loss is fusion-count-bound, not
+    FLOP-bound: scripts/exp_loss_bench.py); per-sample top-k comes from
+    topk_select_mask's ``k_arr`` and the per-pass normalizations reduce
+    each half separately.  Math identical to the two-pass form
+    (tests/test_loss_golden.py locks equality).
+    """
+    feats_m, feats_o = preds["one2many"], preds["one2one"]
+    B = feats_m[0].shape[0]
+    feats = [jnp.concatenate([m, o], axis=0) for m, o in zip(feats_m, feats_o)]
+    gl = jnp.concatenate([gt_labels, gt_labels], 0)
+    gb = jnp.concatenate([gt_bboxes, gt_bboxes], 0)
+    mg = jnp.concatenate([mask_gt, mask_gt], 0)
+    topk_arr = jnp.concatenate(
+        [jnp.full((B,), 10, jnp.int32), jnp.ones((B,), jnp.int32)])
+
+    no = nc + reg_max * 4
+    flat = jnp.concatenate([f.reshape(2 * B, -1, no) for f in feats], axis=1)
+    pred_distri, pred_scores = flat[..., : reg_max * 4], flat[..., reg_max * 4:]
+    feat_shapes = [f.shape[1:3] for f in feats]
+    anchor_points, stride_t = make_anchors(feat_shapes, strides, 0.5)
+
+    dist = dfl_decode(pred_distri, reg_max)
+    pred_bboxes = dist2bbox(dist, anchor_points[None], xywh=False)
+
+    assign = task_aligned_assign(
+        jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores.astype(f32))),
+        jax.lax.stop_gradient(pred_bboxes * stride_t[None]),
+        anchor_points * stride_t,
+        gl, gb, mg,
+        topk=10, num_classes=nc, alpha=0.5, beta=6.0, topk_arr=topk_arr,
+    )
+    target_scores = assign.target_scores
+    target_bboxes = assign.target_bboxes / stride_t[None]
+    fg = assign.fg_mask  # (2B, A)
+
+    def half_sums(x):  # (2B, ...) elementwise loss -> (2,) per-pass sums
+        return x.reshape(2, -1).sum(-1)
+
+    tss = jnp.maximum(half_sums(target_scores), 1.0)  # (2,)
+
+    bce = _bce_logits(pred_scores.astype(f32), target_scores)
+    loss_cls = half_sums(bce) / tss
+
+    weight = target_scores.sum(-1) * fg
+    iou = bbox_iou(pred_bboxes, target_bboxes, xywh=False, kind="ciou")
+    iou = jnp.where(fg, iou, 1.0)
+    loss_box = half_sums((1.0 - iou) * weight) / tss
+
+    target_ltrb = bbox2dist(anchor_points[None], target_bboxes, reg_max - 1)
+    dfl = _dfl_loss(pred_distri.reshape(2 * B, -1, 4, reg_max), target_ltrb, reg_max)
+    loss_dfl = half_sums(jnp.where(fg, dfl, 0.0) * weight) / tss
+
+    items = LossItems(
+        loss_box.sum() * box_gain,
+        loss_cls.sum() * cls_gain,
+        loss_dfl.sum() * dfl_gain,
+    )
+    total = (items.box + items.cls + items.dfl) * B
+    return total, items
 
 
 def v8_obb_loss(

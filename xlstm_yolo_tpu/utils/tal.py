@@ -103,7 +103,7 @@ def _candidates_in_rotated_gts(anc_points, gt_rboxes, eps: float = 1e-9):
     return (ap_ab >= eps) & (ap_ab <= norm_ab) & (ap_ad >= eps) & (ap_ad <= norm_ad)
 
 
-def topk_select_mask(metric: jax.Array, topk: int) -> jax.Array:
+def topk_select_mask(metric: jax.Array, topk: int, k_arr=None) -> jax.Array:
     """(…, A) metric -> (…, A) bool mask of its top-``topk`` entries.
 
     Same selected set as ``lax.top_k`` (both are stable: value ties pick
@@ -111,14 +111,22 @@ def topk_select_mask(metric: jax.Array, topk: int) -> jax.Array:
     rounds — O(k·A) streaming passes instead of the full-A variadic sort
     TPUs lower ``top_k`` to. Selected per-round values are masked to -inf
     so indices are distinct, exactly like top_k's.
+
+    ``k_arr`` (leading-dim ints <= topk) selects a PER-SAMPLE k: round r
+    contributes to sample b only when r < k_arr[b] — e.g. the batched E2E
+    loss runs top-10 for the one2many half and top-1 for the one2one half
+    of one stacked call (utils/loss.e2e_detect_loss).
     """
     A = metric.shape[-1]
     live = metric.astype(f32)
     sel = jnp.zeros(metric.shape, bool)
-    for _ in range(topk):
+    if k_arr is not None:
+        k_arr = jnp.asarray(k_arr).reshape(
+            (metric.shape[0],) + (1,) * (metric.ndim - 1))
+    for r in range(topk):
         j = jnp.argmax(live, -1)
         oh = jax.nn.one_hot(j, A, dtype=bool)
-        sel = sel | oh
+        sel = sel | (oh if k_arr is None else oh & (r < k_arr))
         live = jnp.where(oh, -jnp.inf, live)
     return sel
 
@@ -144,6 +152,7 @@ def task_aligned_assign(
     beta: float = 6.0,
     eps: float = 1e-9,
     rotated: bool = False,
+    topk_arr=None,  # (B,) per-sample k <= topk (see topk_select_mask)
 ) -> AssignResult:
     """Assign gts to anchors by s^alpha * IoU^beta (fixed shapes).
 
@@ -195,7 +204,7 @@ def task_aligned_assign(
     # in-box anchor whose prediction has zero IoU still gets assigned.
     # topk_select_mask picks the same set as lax.top_k without lowering
     # to a full sort over A (measured TPU win; exactness-tested).
-    mask_topk = topk_select_mask(align_metric, topk) & mask_gt[..., None]
+    mask_topk = topk_select_mask(align_metric, topk, topk_arr) & mask_gt[..., None]
 
     mask_pos = mask_topk & valid  # (B, M, A)
 
