@@ -74,9 +74,12 @@ def main():
     )
     from xlstm_yolo_tpu.nn.head import dfl_decode
 
+    import os
+
     steps = sys.argv[1:] or ["e2e", "e2e_batched", "v8", "assigner", "decode",
                              "bce", "ciou_bma", "topk", "e2e_grad",
-                             "e2e_batched_grad"]
+                             "e2e_batched_grad", "e2e_kernel",
+                             "e2e_kernel_grad", "assigner_kernel"]
 
     ks = jax.random.split(jax.random.PRNGKey(0), N)
 
@@ -179,6 +182,52 @@ def main():
             gr = gb(preds_of(b), b)
             return sum(x.sum() for v in gr.values() for x in v)
         timeit_scan("e2e_batched_grad", ebgrad, stacked)
+
+    # ---- fused Pallas TAL-metric kernel variants (XY_TAL_KERNEL is read
+    # at trace time inside task_aligned_assign) ----
+    if "e2e_kernel" in steps:
+        os.environ["XY_TAL_KERNEL"] = "1"
+        timeit_scan("e2e_twopass_kernel", lambda b: e2e_detect_loss(
+            preds_of(b), b["cls"], b["bb"], b["mask"], STRIDES, nc=nc)[0],
+            stacked)
+        os.environ["XY_TAL_KERNEL"] = "0"
+    if "e2e_kernel_grad" in steps:
+        os.environ["XY_TAL_KERNEL"] = "1"
+        gk = jax.grad(lambda p, b: e2e_detect_loss(
+            p, b["cls"], b["bb"], b["mask"], STRIDES, nc=nc)[0])
+
+        def ekgrad(b):
+            gr = gk(preds_of(b), b)
+            return sum(x.sum() for v in gr.values() for x in v)
+        timeit_scan("e2e_twopass_kernel_grad", ekgrad, stacked)
+        os.environ["XY_TAL_KERNEL"] = "0"
+    if "assigner_kernel" in steps:
+        os.environ["XY_TAL_KERNEL"] = "1"
+
+        def assigner_k(b):
+            fl = flat_of(b)
+            scores = jax.nn.sigmoid(fl[..., 4 * reg_max:])
+            boxes = jnp.abs(fl[..., :4]) * 100.0
+            r = task_aligned_assign(scores, boxes, anchor_points * stride_t,
+                                    b["cls"], b["bb"], b["mask"],
+                                    topk=10, num_classes=nc)
+            return r.target_scores.sum()
+        timeit_scan("assigner_kernel", assigner_k, stacked)
+        os.environ["XY_TAL_KERNEL"] = "0"
+
+    # value cross-check: kernel path == jnp path on one batch
+    if "e2e" in steps and "e2e_kernel" in steps:
+        b0 = jax.tree.map(lambda x: x[0], stacked)
+        os.environ["XY_TAL_KERNEL"] = "0"
+        v0 = float(jax.jit(lambda b: e2e_detect_loss(
+            preds_of(b), b["cls"], b["bb"], b["mask"], STRIDES, nc=nc)[0])(b0))
+        os.environ["XY_TAL_KERNEL"] = "1"
+        v1 = float(jax.jit(lambda b: e2e_detect_loss(
+            preds_of(b), b["cls"], b["bb"], b["mask"], STRIDES, nc=nc)[0])(b0))
+        os.environ["XY_TAL_KERNEL"] = "0"
+        results["loss_jnp_vs_kernel"] = [round(v0, 6), round(v1, 6)]
+        print(f"loss cross-check: jnp {v0:.6f} vs kernel {v1:.6f}", flush=True)
+        assert abs(v0 - v1) < 1e-3 * max(1.0, abs(v0)), (v0, v1)
 
     print(json.dumps(results))
 

@@ -8,6 +8,7 @@ whole assigner jits with static shapes.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Sequence
 
 import jax
@@ -164,6 +165,19 @@ def task_aligned_assign(
     M = gt_bboxes.shape[1]
     mask_gt = mask_gt.astype(bool)  # (B, M)
 
+    # fused Pallas metric stage (steps 1-3 in one kernel, VMEM-resident;
+    # ops/pallas/tal_metric.py) — opt-in via XY_TAL_KERNEL until measured
+    if (os.environ.get("XY_TAL_KERNEL", "0") == "1" and not rotated
+            and alpha == 0.5 and beta == 6.0):
+        from xlstm_yolo_tpu.ops.pallas.tal_metric import tal_metric_pallas
+
+        align_metric, overlaps, mask_pos = tal_metric_pallas(
+            pd_scores, pd_bboxes, anc_points, gt_labels, gt_bboxes, mask_gt,
+            topk=topk, num_classes=num_classes, eps=eps, topk_arr=topk_arr)
+        return _assign_from_metric(
+            align_metric, overlaps, mask_pos, gt_labels, gt_bboxes, fg_eps=eps,
+            num_classes=num_classes)
+
     # 1) anchors whose center lies inside each gt box  (B, M, A)
     if rotated:
         mask_in_gts = _candidates_in_rotated_gts(anc_points, gt_bboxes, eps)
@@ -207,6 +221,18 @@ def task_aligned_assign(
     mask_topk = topk_select_mask(align_metric, topk, topk_arr) & mask_gt[..., None]
 
     mask_pos = mask_topk & valid  # (B, M, A)
+    return _assign_from_metric(
+        align_metric, overlaps, mask_pos, gt_labels, gt_bboxes, fg_eps=eps,
+        num_classes=num_classes)
+
+
+def _assign_from_metric(
+    align_metric, overlaps, mask_pos, gt_labels, gt_bboxes,
+    fg_eps: float, num_classes: int,
+) -> AssignResult:
+    """Steps 4-6 of task_aligned_assign from the (B, M, A) metric stage
+    (shared by the jnp path and the fused Pallas metric kernel)."""
+    M = gt_bboxes.shape[1]
 
     # 4) resolve anchors claimed by multiple gts: keep highest IoU
     fg_count = mask_pos.sum(-2)  # (B, A)
@@ -232,7 +258,7 @@ def task_aligned_assign(
     am = align_metric * mask_pos  # (B, M, A)
     pos_align = am.max(-1, keepdims=True)  # (B, M, 1)
     pos_iou = (overlaps * mask_pos).max(-1, keepdims=True)
-    norm = ((am * pos_iou) / (pos_align + eps)).max(-2)  # (B, A)
+    norm = ((am * pos_iou) / (pos_align + fg_eps)).max(-2)  # (B, A)
     target_scores = target_scores * norm[..., None]
 
     return AssignResult(target_labels, target_bboxes, target_scores, fg_mask, target_gt_idx)
