@@ -94,7 +94,8 @@ def _kernel(k_ref, scoresT_ref, box_ref, atanp_ref, anc_ref, gt_ref, oh_ref,
 
     # 3) top-k as masked max rounds, lowest index on ties (exactly
     # lax.top_k's / topk_select_mask's selection); per-sample k from SMEM
-    k = k_ref[0, 0]
+    # (whole (B, 1) array is resident — index the current image's row)
+    k = k_ref[pl.program_id(0), 0]
     M, A = align.shape
     iota = jax.lax.broadcasted_iota(jnp.int32, (M, A), 1)
     live = align
@@ -156,9 +157,10 @@ def tal_metric_pallas(
         jnp.clip(gt_labels, 0, num_classes - 1), nc, dtype=f32)  # (B, M, nc)
     if topk_arr is None:
         topk_arr = jnp.full((B,), topk, jnp.int32)
-    # (B, 1): Mosaic rejects rank-1 SMEM blocks that neither span the
-    # array nor tile by 128 (seen at real lowering; interpret mode does
-    # not check) — rank-2 (1, 1) scalar blocks are the supported form
+    # (B, 1): Mosaic requires the last two block dims to tile by (8, 128)
+    # or span the whole array (real lowering checks this; interpret mode
+    # does not) — so the SMEM block spans the full (B, 1) array and the
+    # kernel indexes its image's row via program_id
     topk_arr = topk_arr.astype(jnp.int32).reshape(B, 1)
 
     img = lambda b: (b, 0, 0)
@@ -166,7 +168,7 @@ def tal_metric_pallas(
         functools.partial(_kernel, topk=topk, eps=eps, eps7=eps7),
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda b: (b, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, nc, A_pad), img),
             pl.BlockSpec((1, 4, A_pad), img),
             pl.BlockSpec((1, 1, A_pad), img),
