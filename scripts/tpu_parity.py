@@ -173,8 +173,48 @@ def main():
         err = max(_err(y_p, y_s), *(map(_err, st_p, st_s)))
         record("slstm--pallas sequence", "B2 S24 D32 NH4", err, TOL_FW)
 
+    def tal_metric_fused():
+        import os
+
+        from xlstm_yolo_tpu.utils.tal import make_anchors, task_aligned_assign
+
+        r = np.random.default_rng(5)
+        B, M, nc = 2, 16, 80
+        shapes, strides = [(20, 20), (10, 10), (5, 5)], [8.0, 16.0, 32.0]
+        A = sum(h * w for h, w in shapes)
+        anc, stride_t = make_anchors(shapes, strides, 0.5)
+        scores = jnp.asarray(r.uniform(size=(B, A, nc)), jnp.float32)
+        cxy = jnp.asarray(r.uniform(10, 150, size=(B, A, 2)), jnp.float32)
+        pwh = jnp.asarray(r.uniform(8, 60, size=(B, A, 2)), jnp.float32)
+        pb = jnp.concatenate([cxy - pwh / 2, cxy + pwh / 2], -1)
+        gxy = jnp.asarray(r.uniform(20, 120, size=(B, M, 2)), jnp.float32)
+        gwh = jnp.asarray(r.uniform(20, 70, size=(B, M, 2)), jnp.float32)
+        gb = jnp.concatenate([gxy, gxy + gwh], -1)
+        gl = jnp.asarray(r.integers(0, nc, size=(B, M)), jnp.int32)
+        mg = jnp.asarray(np.arange(M)[None] < np.array([[11], [7]]))
+        ap = anc * stride_t
+
+        def run(flag):
+            os.environ["XY_TAL_KERNEL"] = flag
+            try:
+                res = jax.jit(lambda *a: task_aligned_assign(
+                    *a, topk=10, num_classes=nc))(
+                        scores, pb, ap, gl, gb, mg)
+                return jax.tree.map(np.asarray, res)
+            finally:
+                os.environ["XY_TAL_KERNEL"] = "0"
+
+        k_res, j_res = run("1"), run("0")
+        err = max(
+            _err(k_res.target_scores, j_res.target_scores),
+            _err(k_res.target_bboxes, j_res.target_bboxes),
+            _err(k_res.fg_mask, j_res.fg_mask),
+        )
+        record("tal_metric--pallas fused assign", f"B{B} A{A} M{M} nc{nc}",
+               err, TOL_FW)
+
     for fam in (chunkwise_siging, chunkwise_exp, parallel_flash,
-                step_fused, slstm_sequence):
+                step_fused, slstm_sequence, tal_metric_fused):
         section(fam)
 
     (REPO / "TPU_PARITY.json").write_text(json.dumps(out, indent=1))
