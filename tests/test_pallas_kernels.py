@@ -237,7 +237,7 @@ def test_pallas_v2_bw_head_group_split(rng, monkeypatch):
     grad-exact; on hardware it engages when VMEM budget forces it."""
     from xlstm_yolo_tpu.ops.pallas import chunkwise_v2 as m
 
-    monkeypatch.setattr(m, "_bw_head_group", lambda NH, L, dqk, dhv: 2)
+    monkeypatch.setattr(m, "_bw_head_group", lambda NH, L, dqk, dhv, *a: 2)
     q, k, v, i, f = make_args(rng, B=2, NH=4, S=48, DHQK=16, DHHV=16)
 
     def loss_v2(*a):
@@ -413,4 +413,82 @@ def test_pallas_v2_bw_col_variant_matches_row(rng, monkeypatch):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-5,
             err_msg=f"col-variant grad {name}",
+        )
+
+
+def test_pallas_v2_bw_multichunk_matches_single(rng, monkeypatch):
+    """CC > 1 (multiple chunks per bw grid step, amortizing the per-step
+    pipeline floor) must be grad-exact vs the CC=1 launch, including
+    c_initial and the in-kernel reverse chunk order."""
+    from xlstm_yolo_tpu.ops.pallas import chunkwise_v2 as m
+
+    B, NH, S, DH, L = 2, 4, 64, 16, 16  # NC = 4: CC in {2, 4} legal
+    H = NH * DH
+    q = jnp.asarray(rng.normal(size=(B, S, H)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, S, H)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, H)), jnp.float32)
+    i = jnp.asarray(rng.normal(size=(B, S, NH)) - 5.0, jnp.float32)
+    f = jnp.asarray(rng.normal(size=(B, S, NH)) + 4.0, jnp.float32)
+    c0 = jnp.asarray(rng.normal(size=(B, NH, DH, DH)), jnp.float32) * 0.1
+    n0 = jnp.asarray(rng.normal(size=(B, NH, DH)), jnp.float32) * 0.1
+
+    def grads():
+        def loss(q, k, v, i, f, c0):
+            h = m.mlstm_siging_chunkwise_pallas_v2_bsh(
+                q, k, v, i, f, num_heads=NH, chunk_size=L,
+                c_initial=c0, n_initial=n0, compute_dtype=jnp.float32)
+            return (h ** 2).sum()
+        return jax.grad(loss, argnums=(0, 1, 2, 3, 4, 5))(q, k, v, i, f, c0)
+
+    monkeypatch.setitem(m.BW_CFG, "cc", 0)
+    g_ref = grads()
+    for cc, g_over, fuseg in ((2, 0, 0), (4, 0, 0), (2, 2, 0), (4, 4, 0),
+                              (1, 0, 1), (2, 0, 1), (4, 4, 1)):
+        monkeypatch.setitem(m.BW_CFG, "cc", cc)
+        monkeypatch.setitem(m.BW_CFG, "g", g_over)
+        monkeypatch.setitem(m.BW_CFG, "fuse_gates", fuseg)
+        g_cc = grads()
+        for a, b, name in zip(g_ref, g_cc, ["q", "k", "v", "i", "f", "c0"]):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-5,
+                err_msg=f"CC={cc} G={g_over} fuseg={fuseg} grad {name}",
+            )
+    monkeypatch.setitem(m.BW_CFG, "fuse_gates", 0)
+    # illegal CC (NC % CC != 0 after ragged fallback) silently degrades to 1
+    monkeypatch.setitem(m.BW_CFG, "cc", 3)
+    monkeypatch.setitem(m.BW_CFG, "g", 0)
+    g_bad = grads()
+    for a, b in zip(g_ref, g_bad):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-5)
+
+
+def test_pallas_v2_bw_fused_gates_ragged(rng, monkeypatch):
+    """fuse_gates emits in-kernel gate-grad rows; the padded tail rows
+    must be sliced away exactly (ragged S) vs the XLA epilogue path."""
+    from xlstm_yolo_tpu.ops.pallas import chunkwise_v2 as m
+
+    B, NH, S, DH, L = 1, 2, 72, 8, 16  # S % L != 0
+    H = NH * DH
+    q = jnp.asarray(rng.normal(size=(B, S, H)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, S, H)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, H)), jnp.float32)
+    i = jnp.asarray(rng.normal(size=(B, S, NH)) - 5.0, jnp.float32)
+    f = jnp.asarray(rng.normal(size=(B, S, NH)) + 4.0, jnp.float32)
+
+    def grads():
+        def loss(q, k, v, i, f):
+            h = m.mlstm_siging_chunkwise_pallas_v2_bsh(
+                q, k, v, i, f, num_heads=NH, chunk_size=L,
+                compute_dtype=jnp.float32)
+            return (h ** 2).sum()
+        return jax.grad(loss, argnums=(0, 1, 2, 3, 4))(q, k, v, i, f)
+
+    monkeypatch.setitem(m.BW_CFG, "fuse_gates", 0)
+    g_ref = grads()
+    monkeypatch.setitem(m.BW_CFG, "fuse_gates", 1)
+    g_fg = grads()
+    for a, b, name in zip(g_ref, g_fg, "qkvif"):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-5,
+            err_msg=f"fused-gates ragged grad {name}",
         )

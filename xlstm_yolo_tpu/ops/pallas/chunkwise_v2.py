@@ -48,7 +48,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from xlstm_yolo_tpu.ops.pallas.chunkwise import _chunk_gates, _cumsum_row, _interpret
+from xlstm_yolo_tpu.ops.pallas.chunkwise import _interpret
 
 f32 = jnp.float32
 
@@ -56,6 +56,28 @@ f32 = jnp.float32
 # "col" = transposed (DH, L) outputs keeping the MXU lane dim L-wide
 # (see _bw_fused_kernel_t).  A/B-able per process via env XY_V2_BW.
 BW_VARIANT = os.environ.get("XY_V2_BW", "row")
+
+# Backward launch configuration.  The bw grid (B, NH/G, NC) runs ~28 us
+# of fixed pipeline overhead per grid step (KNOWN_ISSUES calibration),
+# and at the flagship train shape (B8 NH12 DH32 S6400 cs640) the default
+# G=4 grid is 240 steps — the floor alone (~6.7 ms) dominates the ~7.6 ms
+# kernel.  Two knobs cut the step count; both are read at TRACE time
+# (mutate between jit builds, or set the envs before import):
+#   g       head-group per step (0 = auto-fit VMEM budget)
+#   cc      chunks per grid step (0/1 = one; needs S % L == 0, NC % cc == 0)
+#   vmem_mb Mosaic scoped-VMEM limit override (0 = default 16 MB); v5e has
+#           128 MB physical, so wider G / larger cc can buy step-count
+#           reduction with an explicit raise.
+#   fuse_gates  also emit the gate-grad row reductions sum_dh(q*dq) and
+#           sum_dh(k*dk) from the kernel (they feed di/df), replacing the
+#           XLA epilogue's full re-read of q/k/dq/dv from HBM with two
+#           (B, NC, NH, L) rows.
+BW_CFG = {
+    "g": int(os.environ.get("XY_V2_BW_G", "0")),
+    "cc": int(os.environ.get("XY_V2_BW_CC", "0")),
+    "vmem_mb": int(os.environ.get("XY_V2_BW_VMEM", "0")),
+    "fuse_gates": int(os.environ.get("XY_V2_BW_FUSEG", "0")),
+}
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -74,7 +96,7 @@ def _row_mask(j, L: int, S: int):
 
 
 def _fw_body(
-    q_ref, k_ref, v_ref, i_ref, f_ref, g_ref, c0_ref, n0_ref,
+    q_ref, k_ref, v_ref, b_ref, a_ref, li_ref, g_ref, c0_ref, n0_ref,
     h_ref, nout_ref, cstates_ref, nstates_ref, clast_ref, nlast_ref,
     c_scr, n_scr,
     *, G: int, L: int, S: int, DHQK: int, DHHV: int, NC: int,
@@ -116,9 +138,9 @@ def _fw_body(
             q = qall[:, h * DHQK : (h + 1) * DHQK]
             k = kall[:, h * DHQK : (h + 1) * DHQK]
             v = vall[:, h * DHHV : (h + 1) * DHHV]
-            i_row = i_ref[bi, 0, h : h + 1, :]  # (1, L) — gates pre-padded
-            f_row = f_ref[bi, 0, h : h + 1, :]
-            b, a, logi = _chunk_gates(i_row, f_row)
+            b = b_ref[bi, 0, h : h + 1, :]  # (1, L) rows, XLA-precomputed
+            a = a_ref[bi, 0, h : h + 1, :]
+            logi = li_ref[bi, 0, h : h + 1, :]
             gbar = jnp.exp(g_ref[bi, 0, 0, h])
 
             C_prev = c_scr[hh * DHQK : (hh + 1) * DHQK, :]
@@ -181,43 +203,65 @@ def _fw_body(
                 nlast_ref[bi, h : h + 1, :] = n_new
 
 
-def _fw_kernel_train(q, k, v, i, f, g, c0, n0,
+def _fw_kernel_train(q, k, v, b, a, li, g, c0, n0,
                      h, nout, cst, nst, clast, nlast, c_scr, n_scr, **kw):
-    _fw_body(q, k, v, i, f, g, c0, n0,
+    _fw_body(q, k, v, b, a, li, g, c0, n0,
              h, nout, cst, nst, clast, nlast, c_scr, n_scr,
              save_states=True, **kw)
 
 
-def _fw_kernel_infer(q, k, v, i, f, g, c0, n0,
+def _fw_kernel_infer(q, k, v, b, a, li, g, c0, n0,
                      h, clast, nlast, c_scr, n_scr, **kw):
-    _fw_body(q, k, v, i, f, g, c0, n0,
+    _fw_body(q, k, v, b, a, li, g, c0, n0,
              h, None, None, None, clast, nlast, c_scr, n_scr,
              save_states=False, **kw)
 
 
-def _fw_kernel_infer_ln(q, k, v, i, f, g, c0, n0, lnw, lnb,
+def _fw_kernel_infer_ln(q, k, v, b, a, li, g, c0, n0, lnw, lnb,
                         h, clast, nlast, c_scr, n_scr, **kw):
-    _fw_body(q, k, v, i, f, g, c0, n0,
+    _fw_body(q, k, v, b, a, li, g, c0, n0,
              h, None, None, None, clast, nlast, c_scr, n_scr,
              save_states=False, lnw_ref=lnw, lnb_ref=lnb, **kw)
 
 
 def _pack_gates(i, f, NC: int, L: int):
-    """(B, S, NH) gates -> padded (B, NC, NH, L) rows + (B, NC, 1, NH) decay.
+    """(B, S, NH) gates -> per-chunk gate ROWS, precomputed in XLA.
 
-    Pad values make padded steps inert: i -> -1e4 (sigmoid input gate 0,
-    so the step writes nothing into C/n and D's column dies), f -> 1e4
-    (log sigmoid 0, so cumulative decays pass through unchanged).
+    Returns (b, a, logi) rows, each (B, NC, NH, L) f32, plus the chunk
+    decay total scaG (B, NC, 1, NH):
+
+        b[l]  = cumsum_{t<=l} logsig(f)      (within the chunk)
+        a[l]  = sum_{t>l} logsig(f) + logsig(i)
+        scaG  = b[L-1]  (full-chunk decay)
+
+    v1 computed these *inside* the kernel via (1, L) x (L, L) triangular
+    matmuls (`_chunk_gates`) because Mosaic has no cumsum primitive —
+    but an M=1 matmul pads to a full ceil(L/128)^2 MXU tile grid, and the
+    two cumsums cost ~50 tile-ops per head-chunk (~45% of the fw
+    kernel's tile budget, ~26% of the bw's).  The rows are tiny
+    (B*NC*NH*L f32 = one 2.5 MB tensor each at the flagship shape), so
+    hoisting them to XLA trades negligible HBM for the kernels' single
+    biggest tile-count reduction.
+
+    Pad values keep padded steps inert: i -> -1e4 (logi ~ -1e4 kills the
+    D column and the C/n write), f -> 1e4 (logsig 0: decays pass
+    through).
     """
     B, S, NH = i.shape
     pad = NC * L - S
     if pad:
         i = jnp.pad(i, ((0, 0), (0, pad), (0, 0)), constant_values=-1e4)
         f = jnp.pad(f, ((0, 0), (0, pad), (0, 0)), constant_values=1e4)
-    ifl = i.reshape(B, NC, L, NH).transpose(0, 1, 3, 2).astype(f32)
-    ffl = f.reshape(B, NC, L, NH).transpose(0, 1, 3, 2).astype(f32)
-    scaG = jax.nn.log_sigmoid(ffl).sum(-1).reshape(B, NC, 1, NH)
-    return ifl, ffl, scaG
+    ic = i.reshape(B, NC, L, NH).astype(f32)
+    fc = f.reshape(B, NC, L, NH).astype(f32)
+    logf = jax.nn.log_sigmoid(fc)
+    logi = jax.nn.log_sigmoid(ic)
+    b = jnp.cumsum(logf, axis=2)  # inclusive within-chunk cumsum
+    total = b[:, :, -1:, :]  # (B, NC, 1, NH)
+    a = (total - b) + logi  # strict reverse cumsum (t > l) + logsig(i)
+    tr = lambda x: x.transpose(0, 1, 3, 2)  # -> (B, NC, NH, L)
+    scaG = total.reshape(B, NC, 1, NH)
+    return tr(b), tr(a), tr(logi), scaG
 
 
 def _fw_specs(G, HG, L, DHQK, DHHV, use_initial, BP=1):
@@ -231,8 +275,9 @@ def _fw_specs(G, HG, L, DHQK, DHHV, use_initial, BP=1):
         pl.BlockSpec((BP, L, G * DHQK), qkcols),
         pl.BlockSpec((BP, L, G * DHQK), qkcols),
         pl.BlockSpec((BP, L, G * DHHV), qkcols),
-        pl.BlockSpec((BP, 1, G, L), rowm),
-        pl.BlockSpec((BP, 1, G, L), rowm),
+        pl.BlockSpec((BP, 1, G, L), rowm),  # b rows
+        pl.BlockSpec((BP, 1, G, L), rowm),  # a rows
+        pl.BlockSpec((BP, 1, G, L), rowm),  # logi rows
         pl.BlockSpec((BP, 1, 1, G), smem, memory_space=pltpu.SMEM),
         pl.BlockSpec((BPI, G, DHQK, DHHV), st),
         pl.BlockSpec((BPI, G, DHQK), st3),
@@ -273,7 +318,7 @@ def _fw(
     BP = batch_pack if batch_pack else _fw_auto_bp(B, L, G, DHQK, DHHV)
     assert B % BP == 0, f"B={B} % batch_pack={BP}"
 
-    ifl, ffl, scaG = _pack_gates(i, f, NC, L)
+    brow, arow, lirow, scaG = _pack_gates(i, f, NC, L)
     c0 = (
         c_initial.astype(f32)
         if use_initial
@@ -323,12 +368,12 @@ def _fw(
             ],
             scratch_shapes=scratch,
             interpret=_interpret(),
-        )(q, k, v, ifl, ffl, scaG, c0, n0)
+        )(q, k, v, brow, arow, lirow, scaG, c0, n0)
         h, n_out, cs, ns, c_last, n_last = out
     else:
         fuse_ln = ln_weight is not None
         infer_specs = list(in_specs)
-        args = [q, k, v, ifl, ffl, scaG, c0, n0]
+        args = [q, k, v, brow, arow, lirow, scaG, c0, n0]
         kernel = _fw_kernel_infer
         if fuse_ln:
             lnw = ln_weight.astype(f32).reshape(HG, G, DHHV)
@@ -367,27 +412,36 @@ def _fw(
 
 
 def _bw_fused_kernel(
-    q_ref, k_ref, v_ref, i_ref, f_ref, g_ref,
+    q_ref, k_ref, v_ref, b_ref, a_ref, li_ref, g_ref,
     cstates_ref, nout_ref, dh_ref, dclast_ref,
-    dq_ref, dk_ref, dv_ref, dc0_ref, dc_scr,
-    *, G: int, L: int, S: int, DHQK: int, DHHV: int, NC: int,
-    qk_scale: float, eps: float, use_dclast: bool, dtype: Any,
+    dq_ref, dk_ref, dv_ref, dc0_ref, *rest,
+    G: int, L: int, S: int, DHQK: int, DHHV: int, NC: int,
+    qk_scale: float, eps: float, use_dclast: bool, dtype: Any, CC: int = 1,
+    fuse_gates: bool = False,
 ):
     """Fused backward: reverse dC scan + per-chunk dQ/dK/dV in ONE pass.
 
-    Grid step j visits chunk jj = NC-1-j.  TPU grid steps execute
-    sequentially on the core anyway, so carrying the dC recurrence in
-    scratch while emitting dQ/dK/dV per chunk costs no parallelism and
-    removes an entire NC-step grid pass (plus the dc_states HBM
-    round-trip) vs the two-kernel form.  Emits dc0 = grad w.r.t.
-    c_initial (the state *before* chunk 0) at the last step."""
+    Grid step j visits chunk block NB-1-j of CC chunks (NB = NC // CC),
+    processing its chunks in reverse inside the kernel.  TPU grid steps
+    execute sequentially on the core anyway, so carrying the dC
+    recurrence in scratch while emitting dQ/dK/dV per chunk costs no
+    parallelism and removes an entire NC-step grid pass (plus the
+    dc_states HBM round-trip) vs the two-kernel form; CC > 1 further
+    amortizes the ~28 us fixed per-grid-step pipeline overhead over CC
+    chunks (the (L, L) transient VMEM footprint does not grow with CC).
+    Emits dc0 = grad w.r.t. c_initial (the state *before* chunk 0) at
+    the last step."""
+    if fuse_gates:
+        dqq_ref, dkk_ref, dc_scr = rest
+    else:
+        (dc_scr,) = rest
     j = pl.program_id(2)
-    jj = NC - 1 - j
+    NB = NC // CC
+    block_base = (NB - 1 - j) * CC  # first global chunk index in block
     ragged = S % L != 0
-    mask = _row_mask(jj, L, S) if ragged else None
     row = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
-    causal = row >= col  # hoisted: shared across heads
+    causal = row >= col  # hoisted: shared across chunks + heads
 
     @pl.when(j == 0)
     def _init():
@@ -396,104 +450,120 @@ def _bw_fused_kernel(
         else:
             dc_scr[...] = jnp.zeros((G * DHQK, DHHV), f32)
 
-    qall = q_ref[0]
-    kall = k_ref[0]
-    vall = v_ref[0]
-    dhall = dh_ref[0]
-    if ragged:
-        qall = jnp.where(mask, qall, 0)
-        kall = jnp.where(mask, kall, 0)
-        vall = jnp.where(mask, vall, 0)
-        dhall = jnp.where(mask, dhall, 0)
+    for t in range(CC):  # chunks within the block, newest first
+        local = CC - 1 - t
+        mask = _row_mask(block_base + local, L, S) if ragged else None
+        qall = q_ref[0, local * L : (local + 1) * L, :]
+        kall = k_ref[0, local * L : (local + 1) * L, :]
+        vall = v_ref[0, local * L : (local + 1) * L, :]
+        dhall = dh_ref[0, local * L : (local + 1) * L, :]
+        if ragged:
+            qall = jnp.where(mask, qall, 0)
+            kall = jnp.where(mask, kall, 0)
+            vall = jnp.where(mask, vall, 0)
+            dhall = jnp.where(mask, dhall, 0)
 
-    for h in range(G):
-        q = qall[:, h * DHQK : (h + 1) * DHQK]
-        k = kall[:, h * DHQK : (h + 1) * DHQK]
-        v = vall[:, h * DHHV : (h + 1) * DHHV]
-        dh = dhall[:, h * DHHV : (h + 1) * DHHV]
-        i_row = i_ref[0, 0, 0, h : h + 1, :]
-        f_row = f_ref[0, 0, 0, h : h + 1, :]
-        b, a, logi = _chunk_gates(i_row, f_row)
-        gbar = jnp.exp(g_ref[0, 0, 0, 0, h])
-        C_prev = cstates_ref[0, 0, h]
-        dC_after = dc_scr[h * DHQK : (h + 1) * DHQK, :]
-        n_row = nout_ref[0, 0, 0, h : h + 1, :]  # pad slots are 1.0
-        dhn = dh.astype(f32) / (n_row.T + eps)  # (L, DHHV)
+        for h in range(G):
+            q = qall[:, h * DHQK : (h + 1) * DHQK]
+            k = kall[:, h * DHQK : (h + 1) * DHQK]
+            v = vall[:, h * DHHV : (h + 1) * DHHV]
+            dh = dhall[:, h * DHHV : (h + 1) * DHHV]
+            b = b_ref[0, local, 0, h : h + 1, :]  # XLA-precomputed rows
+            a = a_ref[0, local, 0, h : h + 1, :]
+            logi = li_ref[0, local, 0, h : h + 1, :]
+            gbar = jnp.exp(g_ref[0, local, 0, 0, h])
+            C_prev = cstates_ref[0, local, h]
+            dC_after = dc_scr[h * DHQK : (h + 1) * DHQK, :]
+            n_row = nout_ref[0, local, 0, h : h + 1, :]  # pad slots are 1.0
+            dhn = dh.astype(f32) / (n_row.T + eps)  # (L, DHHV)
 
-        D = jnp.where(row >= col, jnp.exp(b.T - b + logi), 0.0)
+            D = jnp.where(causal, jnp.exp(b.T - b + logi), 0.0)
 
-        # P = (dhn V^T) ∘ D  (L, L)
-        P = jax.lax.dot_general(
-            dhn.astype(dtype), v.astype(dtype),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=f32,
-        ) * D
+            # P = (dhn V^T) ∘ D  (L, L)
+            P = jax.lax.dot_general(
+                dhn.astype(dtype), v.astype(dtype),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+            ) * D
 
-        s = jax.lax.dot_general(
-            q.astype(dtype), k.astype(dtype),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=f32,
-        ) * qk_scale
-        sd = s * D
+            s = jax.lax.dot_general(
+                q.astype(dtype), k.astype(dtype),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+            ) * qk_scale
+            sd = s * D
 
-        expb = jnp.exp(b.T)  # (L, 1)
-        expa = jnp.exp(a.T)
+            expb = jnp.exp(b.T)  # (L, 1)
+            expa = jnp.exp(a.T)
 
-        # dQ = scale * [ P K + e^b (dhn C_prev^T) ]
-        dq = jax.lax.dot_general(
-            P.astype(dtype), k.astype(dtype),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        ) * qk_scale
-        dq += jax.lax.dot_general(
-            dhn.astype(dtype), C_prev.astype(dtype),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=f32,
-        ) * (expb * qk_scale)
-        dq_ref[0, :, h * DHQK : (h + 1) * DHQK] = dq.astype(dq_ref.dtype)
+            # dQ = scale * [ P K + e^b (dhn C_prev^T) ]
+            dq = jax.lax.dot_general(
+                P.astype(dtype), k.astype(dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            ) * qk_scale
+            dq += jax.lax.dot_general(
+                dhn.astype(dtype), C_prev.astype(dtype),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+            ) * (expb * qk_scale)
+            dq_ref[0, local * L : (local + 1) * L, h * DHQK : (h + 1) * DHQK] = (
+                dq.astype(dq_ref.dtype))
 
-        # dK = scale * P^T Q + e^a (V dC_after^T)
-        dk = jax.lax.dot_general(
-            P.astype(dtype), q.astype(dtype),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        ) * qk_scale
-        dk += jax.lax.dot_general(
-            v.astype(dtype), dC_after.astype(dtype),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=f32,
-        ) * expa
-        dk_ref[0, :, h * DHQK : (h + 1) * DHQK] = dk.astype(dk_ref.dtype)
+            # dK = scale * P^T Q + e^a (V dC_after^T)
+            dk = jax.lax.dot_general(
+                P.astype(dtype), q.astype(dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            ) * qk_scale
+            dk += jax.lax.dot_general(
+                v.astype(dtype), dC_after.astype(dtype),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+            ) * expa
+            dk_ref[0, local * L : (local + 1) * L, h * DHQK : (h + 1) * DHQK] = (
+                dk.astype(dk_ref.dtype))
 
-        # dV = (S ∘ D)^T dhn + (e^a k) dC_after
-        dv = jax.lax.dot_general(
-            sd.astype(dtype), dhn.astype(dtype),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        )
-        dv += jax.lax.dot_general(
-            (k.astype(f32) * expa).astype(dtype), dC_after.astype(dtype),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        )
-        dv_ref[0, :, h * DHHV : (h + 1) * DHHV] = dv.astype(dv_ref.dtype)
+            if fuse_gates:
+                # gate-grad row reductions while q/k/dq/dk sit in VMEM
+                # (the XLA epilogue otherwise re-reads all four from HBM)
+                dqq_ref[0, local, 0, h : h + 1, :] = jnp.sum(
+                    q.astype(f32) * dq, axis=1, keepdims=True).T
+                dkk_ref[0, local, 0, h : h + 1, :] = jnp.sum(
+                    k.astype(f32) * dk, axis=1, keepdims=True).T
 
-        # reverse dC recurrence: dC_{jj-1} = e^g dC_jj + Qbar^T (dH / n)
-        qbar = q.astype(f32) * expb * qk_scale
-        dC_prev = gbar * dC_after + jax.lax.dot_general(
-            qbar.astype(dtype), dhn.astype(dtype),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        )
-        dc_scr[h * DHQK : (h + 1) * DHQK, :] = dC_prev
+            # dV = (S ∘ D)^T dhn + (e^a k) dC_after
+            dv = jax.lax.dot_general(
+                sd.astype(dtype), dhn.astype(dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            dv += jax.lax.dot_general(
+                (k.astype(f32) * expa).astype(dtype), dC_after.astype(dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            dv_ref[0, local * L : (local + 1) * L, h * DHHV : (h + 1) * DHHV] = (
+                dv.astype(dv_ref.dtype))
 
-        @pl.when(j == NC - 1)
-        def _final():
-            dc0_ref[0, h] = dC_prev
+            # reverse dC recurrence: dC_{jj-1} = e^g dC_jj + Qbar^T (dH / n)
+            qbar = q.astype(f32) * expb * qk_scale
+            dC_prev = gbar * dC_after + jax.lax.dot_general(
+                qbar.astype(dtype), dhn.astype(dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            dc_scr[h * DHQK : (h + 1) * DHQK, :] = dC_prev
+
+            if local == 0:  # chunk 0 of the whole sequence lives in block 0
+
+                @pl.when(j == NB - 1)
+                def _final(dC_prev=dC_prev, h=h):
+                    dc0_ref[0, h] = dC_prev
 
 
 def _bw_fused_kernel_t(
-    q_ref, k_ref, v_ref, i_ref, f_ref, g_ref,
+    q_ref, k_ref, v_ref, b_ref, a_ref, li_ref, g_ref,
     cstates_ref, nout_ref, dh_ref, dclast_ref,
     dqt_ref, dkt_ref, dvt_ref, dc0_ref, dc_scr,
     *, G: int, L: int, S: int, DHQK: int, DHHV: int, NC: int,
@@ -538,9 +608,9 @@ def _bw_fused_kernel_t(
         k = kall[:, h * DHQK : (h + 1) * DHQK]
         v = vall[:, h * DHHV : (h + 1) * DHHV]
         dh = dhall[:, h * DHHV : (h + 1) * DHHV]
-        i_row = i_ref[0, 0, 0, h : h + 1, :]
-        f_row = f_ref[0, 0, 0, h : h + 1, :]
-        b, a, logi = _chunk_gates(i_row, f_row)  # b, a: (1, L)
+        b = b_ref[0, 0, 0, h : h + 1, :]  # XLA-precomputed rows
+        a = a_ref[0, 0, 0, h : h + 1, :]
+        logi = li_ref[0, 0, 0, h : h + 1, :]
         gbar = jnp.exp(g_ref[0, 0, 0, 0, h])
         C_prev = cstates_ref[0, 0, h]
         dC_after = dc_scr[h * DHQK : (h + 1) * DHQK, :]
@@ -618,14 +688,16 @@ def _bw_fused_kernel_t(
             dc0_ref[0, h] = dC_prev
 
 
-def _bw_head_group(NH: int, L: int, DHQK: int, DHHV: int) -> int:
+def _bw_head_group(NH: int, L: int, DHQK: int, DHHV: int,
+                   budget_mb: float = 12.0) -> int:
     """Largest head-group whose dQKV kernel fits scoped VMEM.
 
     Empirically the dQKV kernel needs ~2.5 MB/head at L=512 (measured
-    30 MB at 12 heads vs the 16 MB limit); budget 12 MB and scale by
-    the (L, L) transients.  Mosaic additionally requires the q/k/v block
-    minor dim (G*DH) to divide 128 or equal the full H — so candidate
-    groups are filtered to lane-legal ones.
+    30 MB at 12 heads vs the 16 MB limit); budget 12 MB (or 3/4 of an
+    explicitly raised limit) and scale by the (L, L) transients.  Mosaic
+    additionally requires the q/k/v block minor dim (G*DH) to divide 128
+    or equal the full H — so candidate groups are filtered to lane-legal
+    ones.
     """
     per_head_mb = 2.5 * (L / 512) ** 2
 
@@ -634,7 +706,7 @@ def _bw_head_group(NH: int, L: int, DHQK: int, DHHV: int) -> int:
 
     cands = sorted((g for g in range(1, NH + 1) if NH % g == 0 and legal(g)), reverse=True)
     for g in cands:
-        if g * per_head_mb <= 12.0:
+        if g * per_head_mb <= budget_mb:
             return g
     return cands[-1]
 
@@ -653,18 +725,24 @@ def _bw(
     DHHV = v.shape[-1] // NH
     L = chunk_size
     NC = _cdiv(S, L)
-    G = _bw_head_group(NH, L, DHQK, DHHV)
+    vmem_mb = BW_CFG["vmem_mb"]
+    budget_mb = 0.75 * vmem_mb if vmem_mb else 12.0
+    G = BW_CFG["g"] or _bw_head_group(NH, L, DHQK, DHHV, budget_mb)
     HG = NH // G
+    CC = BW_CFG["cc"] or 1
+    if CC > 1 and (S % L or NC % CC or BW_VARIANT == "col"):
+        CC = 1  # multi-chunk blocks need exact chunking; col variant is CC=1
+    NB = NC // CC
     if qk_scale is None:
         qk_scale = DHQK**-0.5
     use_dclast = dc_last is not None
 
-    ifl, ffl, scaG = _pack_gates(i, f, NC, L)
+    brow, arow, lirow, scaG = _pack_gates(i, f, NC, L)
     # Mosaic requires block dims -2/-1 to divide (8, 128) or equal the
     # array dims; a (…, G, L) block with G < NH violates that on the 4-D
     # (B, NC, NH, L) rows, so give the bw a 5-D (B, NC, HG, G, L) view.
     g5 = lambda x: x.reshape(B, NC, HG, G, L)
-    ifl, ffl = g5(ifl), g5(ffl)
+    brow, arow, lirow = g5(brow), g5(arow), g5(lirow)
     scaG = scaG.reshape(B, NC, HG, 1, G)
     n_out = g5(n_out)
     dcl = (
@@ -673,11 +751,11 @@ def _bw(
         else jnp.zeros((1, NH, DHQK, DHHV), f32)
     )
 
-    qk_rev = lambda b, hg, j: (b, NC - 1 - j, hg)
-    row_rev = lambda b, hg, j: (b, NC - 1 - j, hg, 0, 0)
-    smem_rev = lambda b, hg, j: (b, NC - 1 - j, hg, 0, 0)
-    st5_rev = lambda b, hg, j: (b, NC - 1 - j, hg, 0, 0)
-    grid = (B, HG, NC)
+    qk_rev = lambda b, hg, j: (b, NB - 1 - j, hg)
+    row_rev = lambda b, hg, j: (b, NB - 1 - j, hg, 0, 0)
+    smem_rev = lambda b, hg, j: (b, NB - 1 - j, hg, 0, 0)
+    st5_rev = lambda b, hg, j: (b, NB - 1 - j, hg, 0, 0)
+    grid = (B, HG, NB)
 
     transposed = BW_VARIANT == "col"
     kernel = _bw_fused_kernel_t if transposed else _bw_fused_kernel
@@ -696,9 +774,9 @@ def _bw(
         ]
     else:
         grad_specs = [
-            pl.BlockSpec((1, L, G * DHQK), qk_rev),
-            pl.BlockSpec((1, L, G * DHQK), qk_rev),
-            pl.BlockSpec((1, L, G * DHHV), qk_rev),
+            pl.BlockSpec((1, CC * L, G * DHQK), qk_rev),
+            pl.BlockSpec((1, CC * L, G * DHQK), qk_rev),
+            pl.BlockSpec((1, CC * L, G * DHHV), qk_rev),
         ]
         grad_shapes = [
             jax.ShapeDtypeStruct((B, S, NH * DHQK), q.dtype),
@@ -706,25 +784,40 @@ def _bw(
             jax.ShapeDtypeStruct((B, S, NH * DHHV), v.dtype),
         ]
 
+    fuse_gates = bool(BW_CFG["fuse_gates"]) and not transposed
+    kern_kw = dict(
+        G=G, L=L, S=S, DHQK=DHQK, DHHV=DHHV, NC=NC,
+        qk_scale=qk_scale, eps=eps, use_dclast=use_dclast,
+        dtype=compute_dtype,
+    )
+    if not transposed:
+        kern_kw["CC"] = CC
+        kern_kw["fuse_gates"] = fuse_gates
+    params = (
+        pltpu.CompilerParams(vmem_limit_bytes=vmem_mb * 2**20)
+        if vmem_mb else None
+    )
+    extra_specs, extra_shapes = [], []
+    if fuse_gates:
+        extra_specs = [pl.BlockSpec((1, CC, 1, G, L), row_rev)] * 2
+        extra_shapes = [jax.ShapeDtypeStruct((B, NC, HG, G, L), f32)] * 2
+
     # single reverse pass: dC recurrence carried in scratch, dQ/dK/dV
     # emitted per chunk (grid steps are sequential on the core anyway)
-    dq, dk, dv, dc0_arr = pl.pallas_call(
-        functools.partial(
-            kernel, G=G, L=L, S=S, DHQK=DHQK, DHHV=DHHV, NC=NC,
-            qk_scale=qk_scale, eps=eps, use_dclast=use_dclast,
-            dtype=compute_dtype,
-        ),
+    dq, dk, dv, dc0_arr, *extra = pl.pallas_call(
+        functools.partial(kernel, **kern_kw),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, L, G * DHQK), qk_rev),
-            pl.BlockSpec((1, L, G * DHQK), qk_rev),
-            pl.BlockSpec((1, L, G * DHHV), qk_rev),
-            pl.BlockSpec((1, 1, 1, G, L), row_rev),
-            pl.BlockSpec((1, 1, 1, G, L), row_rev),
-            pl.BlockSpec((1, 1, 1, 1, G), smem_rev, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, G, DHQK, DHHV), st5_rev),
-            pl.BlockSpec((1, 1, 1, G, L), row_rev),
-            pl.BlockSpec((1, L, G * DHHV), qk_rev),
+            pl.BlockSpec((1, CC * L, G * DHQK), qk_rev),
+            pl.BlockSpec((1, CC * L, G * DHQK), qk_rev),
+            pl.BlockSpec((1, CC * L, G * DHHV), qk_rev),
+            pl.BlockSpec((1, CC, 1, G, L), row_rev),
+            pl.BlockSpec((1, CC, 1, G, L), row_rev),
+            pl.BlockSpec((1, CC, 1, G, L), row_rev),
+            pl.BlockSpec((1, CC, 1, 1, G), smem_rev, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, CC, G, DHQK, DHHV), st5_rev),
+            pl.BlockSpec((1, CC, 1, G, L), row_rev),
+            pl.BlockSpec((1, CC * L, G * DHHV), qk_rev),
             pl.BlockSpec(
                 (1, G, DHQK, DHHV),
                 (lambda b, hg, j: (b, hg, 0, 0)) if use_dclast else (lambda b, hg, j: (0, hg, 0, 0)),
@@ -732,13 +825,14 @@ def _bw(
         ],
         out_specs=grad_specs + [
             pl.BlockSpec((1, G, DHQK, DHHV), lambda b, hg, j: (b, hg, 0, 0)),
-        ],
+        ] + extra_specs,
         out_shape=grad_shapes + [
             jax.ShapeDtypeStruct((B, NH, DHQK, DHHV), f32),
-        ],
+        ] + extra_shapes,
         scratch_shapes=[pltpu.VMEM((G * DHQK, DHHV), f32)],
+        compiler_params=params,
         interpret=_interpret(),
-    )(q, k, v, ifl, ffl, scaG, c_states, n_out, dh, dcl)
+    )(q, k, v, brow, arow, lirow, scaG, c_states, n_out, dh, dcl)
     if transposed:
         dq = jnp.swapaxes(dq, 1, 2)
         dk = jnp.swapaxes(dk, 1, 2)
@@ -746,15 +840,25 @@ def _bw(
 
     # 3) gate grads (elementwise + cumsums over S; XLA fuses these fine)
     #    parity: ref:.../chunkwise_gates.py:75-100
-    B_, S_, NH_ = i.shape
-    qg = q.astype(f32).reshape(B, S, NH, DHQK)
-    kg = k.astype(f32).reshape(B, S, NH, DHQK)
-    dqg = dq.astype(f32).reshape(B, S, NH, DHQK)
-    dkg = dk.astype(f32).reshape(B, S, NH, DHQK)
-    dfbar = (qg * dqg).sum(-1) - (kg * dkg).sum(-1)  # (B, S, NH)
+    if fuse_gates:
+        # (B, NC, HG, G, L) rows from the kernel -> (B, S, NH)
+        def _rows_to_sn(x):
+            x = x.reshape(B, NC, NH, L).transpose(0, 1, 3, 2)
+            return x.reshape(B, NC * L, NH)[:, :S]
+
+        qdq = _rows_to_sn(extra[0])
+        kdk = _rows_to_sn(extra[1])
+        dfbar = qdq - kdk  # (B, S, NH)
+    else:
+        qg = q.astype(f32).reshape(B, S, NH, DHQK)
+        kg = k.astype(f32).reshape(B, S, NH, DHQK)
+        dqg = dq.astype(f32).reshape(B, S, NH, DHQK)
+        dkg = dk.astype(f32).reshape(B, S, NH, DHQK)
+        kdk = (kg * dkg).sum(-1)
+        dfbar = (qg * dqg).sum(-1) - kdk  # (B, S, NH)
     dfrev = jnp.cumsum(dfbar[:, ::-1], axis=1)[:, ::-1]
     df = dfrev * jax.nn.sigmoid(-f.astype(f32))
-    di = (kg * dkg).sum(-1) * jax.nn.sigmoid(-i.astype(f32))
+    di = kdk * jax.nn.sigmoid(-i.astype(f32))
 
     dc0 = dc0_arr  # (B, NH, DHQK, DHHV): grad w.r.t. c_initial
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), di, df, dc0
