@@ -295,14 +295,39 @@ def _probe_worker(timeout_s: int = 300) -> bool:
         return False
 
 
+def _wait_healthy(total_s: int) -> bool:
+    """Probe until healthy or the window expires.
+
+    The known fault class recovers in 5-15 min (docs/KNOWN_ISSUES.md);
+    round 3's official bench artifact was a failure only because the
+    driver ran inside that window.  Waiting is therefore the DEFAULT:
+    one short probe, then re-probes every 3 min up to ``total_s``
+    (env XY_BENCH_WAIT_S, default 2700 = 45 min; 0 disables waiting).
+    """
+    deadline = time.monotonic() + total_s
+    if _probe_worker(120):
+        return True
+    while time.monotonic() < deadline:
+        print(f"# worker unhealthy; re-probing ({int(deadline - time.monotonic())}s "
+              "left in recovery window)", flush=True)
+        time.sleep(180)
+        if _probe_worker(180):
+            return True
+    return False
+
+
 if __name__ == "__main__":
-    if not _probe_worker():
+    import os
+
+    wait_s = int(os.environ.get("XY_BENCH_WAIT_S", "2700"))
+    if not _wait_healthy(wait_s):
         print(json.dumps({
             "metric": "e2e predict images/sec/chip @640px",
             "value": -1.0, "unit": "img/s", "vs_baseline": -1.0,
-            "error": "TPU worker unreachable (tiny-matmul probe timed out "
-                     "after 300s) — wedged relay/worker, not a model "
-                     "regression; see docs/KNOWN_ISSUES.md",
+            "error": "TPU worker unreachable (tiny-matmul probe failed "
+                     f"through a {wait_s}s recovery window) — wedged "
+                     "relay/worker, not a model regression; see "
+                     "docs/KNOWN_ISSUES.md",
         }))
         raise SystemExit(0)
     main()

@@ -67,9 +67,15 @@ def main():
     data = check_det_dataset(str(data_yaml))
 
     results = {}
-    for augment, label in ((True, "aug"), (False, "noaug")):
+    # cache modes (VERDICT r4 item 5): the profile says imread is ~46% of
+    # the aug path — RAM/disk decode caches attack exactly that on any
+    # core count.
+    for augment, cache, label in ((True, False, "aug"),
+                                  (True, "ram", "aug_ramcache"),
+                                  (True, "disk", "aug_diskcache"),
+                                  (False, False, "noaug")):
         args = get_cfg(None, {"imgsz": IMGSZ, "task": "detect",
-                              "augment": augment,
+                              "augment": augment, "cache": cache,
                               "mosaic": 1.0 if augment else 0.0,
                               "mixup": 0.0})
         ds = build_yolo_dataset(args, data["train"], BATCH, data,

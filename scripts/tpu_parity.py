@@ -195,6 +195,7 @@ def main():
         ap = anc * stride_t
 
         def run(flag):
+            saved = os.environ.get("XY_TAL_KERNEL")
             os.environ["XY_TAL_KERNEL"] = flag
             try:
                 res = jax.jit(lambda *a: task_aligned_assign(
@@ -202,7 +203,10 @@ def main():
                         scores, pb, ap, gl, gb, mg)
                 return jax.tree.map(np.asarray, res)
             finally:
-                os.environ["XY_TAL_KERNEL"] = "0"
+                if saved is None:
+                    os.environ.pop("XY_TAL_KERNEL", None)
+                else:
+                    os.environ["XY_TAL_KERNEL"] = saved
 
         k_res, j_res = run("1"), run("0")
         err = max(

@@ -210,7 +210,9 @@ def build_yolo_dataset(cfg, img_path: str, batch: int, data_info: dict, mode: st
         hyp=cfg if mode == "train" else None,
         max_targets=int(getattr(cfg, "max_targets", 128) or 128),
         single_cls=bool(getattr(cfg, "single_cls", False)),
-        cache=bool(getattr(cfg, "cache", False)),
+        # pass through as-is: False | True ('ram') | 'ram' | 'disk'
+        # (bool() would collapse cache='disk' into the RAM mode)
+        cache=getattr(cfg, "cache", False),
         names=data_info.get("names", {}),
         fraction=float(getattr(cfg, "fraction", 1.0) or 1.0) if mode == "train" else 1.0,
         kpt_shape=data_info.get("kpt_shape"),

@@ -19,7 +19,7 @@ import numpy as np
 
 from xlstm_yolo_tpu.data.build import build_dataloader, build_yolo_dataset
 from xlstm_yolo_tpu.data.dataset import check_det_dataset
-from xlstm_yolo_tpu.utils import ops
+from xlstm_yolo_tpu.utils import LOGGER, ops
 from xlstm_yolo_tpu.utils.metrics import ConfusionMatrix, DetMetrics, box_iou_matrix
 
 IOUV = np.linspace(0.5, 0.95, 10)
@@ -101,7 +101,10 @@ class DetectionValidator:
     def __call__(self, model_bundle: dict, batch_size: int | None = None, verbose: bool = True):
         model = model_bundle["model"]
         variables = model_bundle["variables"]
-        bs = int(batch_size or self.args.batch or 16)
+        from xlstm_yolo_tpu.utils.tpu_safety import checked_eval_batch
+
+        bs = checked_eval_batch(int(batch_size or self.args.batch or 16),
+                                log=LOGGER.warning)
 
         split = self.data.get(self.args.split or "val") or self.data.get("val")
         dataset = build_yolo_dataset(self.args, split, bs, self.data, mode="val")

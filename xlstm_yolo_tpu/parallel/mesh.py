@@ -26,9 +26,48 @@ MODEL_AXIS = "model"
 
 
 def initialize_distributed():
-    """Init multi-process JAX if a coordinator is configured (no-op else)."""
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
-        jax.distributed.initialize()
+    """Init multi-process JAX if a coordinator is configured (no-op else).
+
+    Must run BEFORE any backend query (``jax.devices()`` / ``
+    jax.process_count()`` pin the single-process backend, after which
+    ``jax.distributed.initialize`` raises).  Reads the coordinator from
+    JAX_COORDINATOR_ADDRESS and the process topology from
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID when set (explicit CPU/manual
+    launches); TPU pod environments auto-detect with no envs at all.
+    Idempotent: a second call (or a call after initialize elsewhere) is
+    a no-op.  Exercised for real by tests/test_multihost.py (2 processes
+    x 4 virtual CPU devices).
+    """
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    try:
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(nproc) if nproc else None,
+            process_id=int(pid) if pid else None,
+        )
+    except RuntimeError:
+        pass  # already initialized (ours or another caller's)
+
+
+def global_batch_from_local(batch: Any, mesh: Mesh, axis: int = 0) -> Any:
+    """Assemble a GLOBAL data-sharded batch from per-process local shards.
+
+    Multi-host twin of :func:`shard_host_batch`: each process passes only
+    its own slice of the batch (local_batch = global_batch / process_count
+    rows) and the result is a global jax.Array sharded on 'data' across
+    all processes — the single-controller replacement for DDP's
+    per-process DataLoader + implicit bucket all-reduce
+    (ref:ultralytics/data/build.py:117 InfiniteDataLoader + DDP sampler).
+    """
+    sh = make_batch_sharding(mesh, batch, axis=axis)
+    return jax.tree.map(
+        lambda x, s: jax.make_array_from_process_local_data(s, np.asarray(x)),
+        batch, sh,
+    )
 
 
 def make_mesh(n_data: int | None = None, n_model: int = 1, devices=None) -> Mesh:
