@@ -141,9 +141,16 @@ def short_train(tm, files, out_root: Path, steps: int, imgsz: int = 640):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=150)
+    ap.add_argument("--images", type=int, default=0,
+                    help="override pm.N_IMAGES (VERDICT r3 item 6: scale "
+                         "the label set to >= 1000; ~160 images suffice)")
     args = ap.parse_args()
 
-    out_root = Path("/tmp/parity_ds_trained_v2")
+    if args.images:
+        pm.N_IMAGES = args.images
+
+    out_root = Path(f"/tmp/parity_ds_trained_v2_{pm.N_IMAGES}"
+                    if args.images else "/tmp/parity_ds_trained_v2")
     rng = np.random.default_rng(20260817)
 
     ref_loader.load_reference()
@@ -202,7 +209,7 @@ def main():
         "reference": ref_stats, "ours": our_stats,
         "ours_siging_deployment_math": our_siging,
         "delta_map5095": delta, "delta_map5095_siging": delta_siging,
-        "n_labels": n_labels,
+        "n_labels": n_labels, "n_images": pm.N_IMAGES,
     }, indent=1))
     print(f"delta mAP50-95 (trained weights, exp-gate): {delta:+.4f}")
     print(f"delta mAP50-95 (trained weights, siging):   {delta_siging:+.4f}")

@@ -175,6 +175,7 @@ def make_train_step(
     task: str = "detect",
     kpt_shape: tuple[int, int] | None = None,
     imgsz_out: int | None = None,
+    device_aug: dict | None = None,
 ) -> Callable:
     """Build train_step(state, batch, rng) -> (state, metrics).
 
@@ -182,12 +183,25 @@ def make_train_step(
     xyxy image units; mask (B, M) bool.  ``accumulate`` > 1 scans over
     microbatches before the optimizer update (ref grad-accum semantics,
     trainer.py:304,372 — here a lax.scan over leading microbatch dim).
+
+    ``device_aug``: optional {"hsv_h","hsv_s","hsv_v","fliplr"} — apply
+    these augmentations ON DEVICE (fused into the normalize pass) from
+    uint8 batches, with the host pipeline running them zeroed
+    (data/device_augment.py; detect task only).
     """
 
     is_rtdetr = any(s["module"] == "RTDETRDecoder"
                     for s in getattr(model_train, "specs", ()))
+    if device_aug and task != "detect":
+        raise ValueError("device_aug supports the detect contract only "
+                         "(segments/keypoints keep host-side flip)")
 
     def loss_fn(params, batch_stats, batch, rng):
+        if device_aug:
+            from xlstm_yolo_tpu.data.device_augment import apply_device_aug
+
+            batch = apply_device_aug(
+                batch, jax.random.fold_in(rng, 7), device_aug)
         img = batch["img"]
         if img.dtype == jnp.uint8:
             # normalize on-device: the host ships 1/4 the bytes

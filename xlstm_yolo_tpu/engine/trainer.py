@@ -169,6 +169,22 @@ class DetectionTrainer:
             variables = self._load_pretrained(variables, args.pretrained)
 
         # --- data ---
+        # device-side HSV + fliplr (opt-in, detect only): move the two
+        # per-pixel host transforms onto the chip — the host pipeline
+        # runs with them zeroed and the train step applies them fused
+        # into its normalize pass (data/device_augment.py).
+        device_aug = None
+        if (os.environ.get("XY_DEVICE_AUG") == "1"
+                or getattr(args, "device_aug", False)) and task == "detect":
+            device_aug = {
+                "hsv_h": float(getattr(args, "hsv_h", 0.0) or 0.0),
+                "hsv_s": float(getattr(args, "hsv_s", 0.0) or 0.0),
+                "hsv_v": float(getattr(args, "hsv_v", 0.0) or 0.0),
+                "fliplr": float(getattr(args, "fliplr", 0.0) or 0.0),
+            }
+            args.hsv_h = args.hsv_s = args.hsv_v = 0.0
+            args.fliplr = 0.0
+            print(f"device-side augmentation: {device_aug}")
         if task == "classify":
             from xlstm_yolo_tpu.data.dataset import ClassificationDataset
 
@@ -282,7 +298,8 @@ class DetectionTrainer:
         kpt_for_step = (tuple(data.get("kpt_shape") or (17, 3))
                         if task == "pose" else None)
         train_step = make_train_step(model_t, tx, nc=nc, accumulate=accumulate,
-                                     task=task, kpt_shape=kpt_for_step)
+                                     task=task, kpt_shape=kpt_for_step,
+                                     device_aug=device_aug)
         # buffer donation would halve peak HBM, but both available
         # runtimes currently reject it: the XLA CPU backend deadlocks its
         # collective rendezvous with donated multi-device buffers, and
@@ -301,7 +318,8 @@ class DetectionTrainer:
             ms_steps = {
                 b: (step_jit if b == imgsz else jax.jit(make_train_step(
                     model_t, tx, nc=nc, accumulate=accumulate, task=task,
-                    kpt_shape=kpt_for_step, imgsz_out=b)))
+                    kpt_shape=kpt_for_step, imgsz_out=b,
+                    device_aug=device_aug)))
                 for b in buckets
             }
             print(f"multi-scale buckets: {buckets}")
