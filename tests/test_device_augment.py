@@ -103,3 +103,27 @@ def test_apply_device_aug_contract(imgs):
     jitted = jax.jit(lambda b, k: apply_device_aug(b, k, {"fliplr": 0.5}))
     out2 = jitted(batch, jax.random.PRNGKey(2))
     assert out2["img"].shape == batch["img"].shape
+
+
+def test_albumentations_hook_noop_and_stub(imgs, monkeypatch):
+    """ref:data/augment.py:1737 hook: silent no-op without the package,
+    applies the composed transform when importable."""
+    from xlstm_yolo_tpu.data import augment as aug
+
+    a = aug.Albumentations(p=1.0)
+    assert a.transform is None  # package not in this env
+    im0 = imgs[0]
+    assert a(im0, random.Random(0)) is im0
+
+    class FakeCompose:
+        def __call__(self, image):
+            return {"image": image + 1}
+
+    a2 = aug.Albumentations(p=1.0)
+    a2.transform = FakeCompose()
+    out2 = a2(imgs[0].astype(np.int32), random.Random(0))
+    np.testing.assert_array_equal(out2, imgs[0].astype(np.int32) + 1)
+    a3 = aug.Albumentations(p=0.0)
+    a3.transform = FakeCompose()
+    im0 = imgs[0]
+    assert a3(im0, random.Random(0)) is im0

@@ -200,6 +200,42 @@ class LetterBox:
         return out
 
 
+class Albumentations:
+    """Optional albumentations hook (parity: ref:data/augment.py:1737).
+
+    The reference applies a fixed pixel-level recipe (Blur, MedianBlur,
+    ToGray, CLAHE, RandomBrightnessContrast, RandomGamma,
+    ImageCompression) when the `albumentations` package is importable,
+    and silently no-ops otherwise.  Same here: pixel-level only (boxes
+    untouched), import-guarded, gated by ``p``.  This environment does
+    not ship albumentations, so the hook exists for users who install
+    it; tests exercise the no-op path and a stubbed transform.
+    """
+
+    def __init__(self, p: float = 1.0):
+        self.p = p
+        self.transform = None
+        try:
+            import albumentations as A
+
+            self.transform = A.Compose([
+                A.Blur(p=0.01),
+                A.MedianBlur(p=0.01),
+                A.ToGray(p=0.01),
+                A.CLAHE(p=0.01),
+                A.RandomBrightnessContrast(p=0.0),
+                A.RandomGamma(p=0.0),
+                A.ImageCompression(quality_range=(75, 100), p=0.0),
+            ])
+        except Exception:  # not installed / incompatible — stay a no-op
+            self.transform = None
+
+    def __call__(self, img: np.ndarray, rng: random.Random) -> np.ndarray:
+        if self.transform is None or rng.random() >= self.p:
+            return img
+        return self.transform(image=img)["image"]
+
+
 @dataclass
 class RandomHSV:
     """LUT-based HSV jitter (parity: augment.py:1303-1383)."""
@@ -663,6 +699,7 @@ class TrainTransforms:
             shear=self.shear, perspective=self.perspective,
         )
         self._hsv = RandomHSV(self.hsv_h, self.hsv_s, self.hsv_v)
+        self._albumentations = Albumentations(p=1.0)  # no-op if not installed
         self._letterbox = LetterBox((self.imgsz, self.imgsz))
 
     def __call__(self, index: int, rng: random.Random) -> dict:
@@ -686,6 +723,7 @@ class TrainTransforms:
 
         if self.copy_paste:
             img, labels = self._copy_paste(img, labels, rng)
+        img = self._albumentations(img, rng)  # ref order: before HSV
         img = self._hsv(img, rng)
         img, labels = RandomFlip(self.flipud, "vertical")(img, labels, rng)
         img, labels = RandomFlip(self.fliplr, "horizontal", self.flip_idx)(img, labels, rng)

@@ -153,3 +153,85 @@ def convert_sam_state_dict(state_dict, depth: int = 12) -> dict:
         "prompt_encoder": convert_prompt_encoder(sub("prompt_encoder.")),
         "mask_decoder": convert_mask_decoder(sub("mask_decoder.")),
     }
+
+
+# ---------------------------------------------------------------------------
+# MobileSAM TinyViT encoder (ref:models/sam/modules/tiny_encoder.py)
+# ---------------------------------------------------------------------------
+
+
+def _convbn(sd, name):
+    """torch Conv2d_BN -> flax ConvBN ({params}, {batch_stats})."""
+    g = int(sd.get(f"{name}.c.groups", 1)) if f"{name}.c.groups" in sd else 1
+    w = np.asarray(sd[f"{name}.c.weight"])  # (O, I/g, kh, kw)
+    params = {
+        "c": {"kernel": np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))},
+        "bn": {"scale": np.asarray(sd[f"{name}.bn.weight"]),
+               "bias": np.asarray(sd[f"{name}.bn.bias"])},
+    }
+    stats = {"bn": {"mean": np.asarray(sd[f"{name}.bn.running_mean"]),
+                    "var": np.asarray(sd[f"{name}.bn.running_var"])}}
+    return params, stats
+
+
+def convert_tiny_vit(sd, depths=(2, 2, 6, 2)) -> tuple[dict, dict]:
+    """TinyViT encoder subtree -> (params, batch_stats) for
+    :class:`xlstm_yolo_tpu.models.sam.tiny_encoder.TinyViT`."""
+    P, S = {}, {}
+
+    def put_convbn(flax_mod, flax_sub, torch_name):
+        p, s = _convbn(sd, torch_name)
+        P.setdefault(flax_mod, {})[flax_sub] = p
+        S.setdefault(flax_mod, {})[flax_sub] = s
+
+    put_convbn("patch_embed", "conv1", "patch_embed.seq.0")
+    put_convbn("patch_embed", "conv2", "patch_embed.seq.2")
+    for j in range(depths[0]):
+        for c in ("conv1", "conv2", "conv3"):
+            put_convbn(f"layer0_block{j}", c, f"layers.0.blocks.{j}.{c}")
+    for c in ("conv1", "conv2", "conv3"):
+        put_convbn("layer0_downsample", c, f"layers.0.downsample.{c}")
+    for i in (1, 2, 3):
+        for j in range(depths[i]):
+            b = f"layers.{i}.blocks.{j}"
+            m = f"layer{i}_block{j}"
+            P[m] = {
+                "attn": {
+                    "norm": _ln(sd, f"{b}.attn.norm"),
+                    "qkv": _lin(sd, f"{b}.attn.qkv"),
+                    "proj": _lin(sd, f"{b}.attn.proj"),
+                    "attention_biases": np.asarray(sd[f"{b}.attn.attention_biases"]),
+                },
+                "mlp_norm": _ln(sd, f"{b}.mlp.norm"),
+                "mlp_fc1": _lin(sd, f"{b}.mlp.fc1"),
+                "mlp_fc2": _lin(sd, f"{b}.mlp.fc2"),
+            }
+            S[m] = {}
+            put_convbn(m, "local_conv", f"{b}.local_conv")
+        if i < 3:
+            for c in ("conv1", "conv2", "conv3"):
+                put_convbn(f"layer{i}_downsample", c, f"layers.{i}.downsample.{c}")
+    P["neck_conv1"] = _conv(sd, "neck.0", bias=False)
+    P["neck_ln1"] = _ln2d(sd, "neck.1")
+    P["neck_conv2"] = _conv(sd, "neck.2", bias=False)
+    P["neck_ln2"] = _ln2d(sd, "neck.3")
+    return P, S
+
+
+def convert_mobile_sam_state_dict(state_dict, depths=(2, 2, 6, 2)) -> dict:
+    """MobileSAM .pt -> {'params': ..., 'batch_stats': ...} for SAMModel
+    with the TinyViT encoder (encoder_type='tiny')."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+
+    def sub(prefix):
+        return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+    enc_p, enc_s = convert_tiny_vit(sub("image_encoder."), depths)
+    return {
+        "params": {
+            "image_encoder": enc_p,
+            "prompt_encoder": convert_prompt_encoder(sub("prompt_encoder.")),
+            "mask_decoder": convert_mask_decoder(sub("mask_decoder.")),
+        },
+        "batch_stats": {"image_encoder": enc_s},
+    }

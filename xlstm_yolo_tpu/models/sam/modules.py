@@ -509,13 +509,21 @@ class SAMModel(nn.Module):
     num_heads: int = 12
     global_attn_indexes: Sequence[int] = (2, 5, 8, 11)
     prompt_embed_dim: int = 256
+    encoder_type: str = "vit"  # "vit" | "tiny" (MobileSAM TinyViT)
 
     def setup(self):
         gs = self.img_size // 16
-        self.image_encoder = ImageEncoderViT(
-            img_size=self.img_size, embed_dim=self.embed_dim, depth=self.depth,
-            num_heads=self.num_heads, out_chans=self.prompt_embed_dim,
-            global_attn_indexes=self.global_attn_indexes)
+        if self.encoder_type == "tiny":
+            from xlstm_yolo_tpu.models.sam.tiny_encoder import TinyViT
+
+            self.image_encoder = TinyViT(
+                img_size=self.img_size, neck_dim=self.prompt_embed_dim)
+        else:
+            self.image_encoder = ImageEncoderViT(
+                img_size=self.img_size, embed_dim=self.embed_dim,
+                depth=self.depth, num_heads=self.num_heads,
+                out_chans=self.prompt_embed_dim,
+                global_attn_indexes=self.global_attn_indexes)
         self.prompt_encoder = PromptEncoder(
             embed_dim=self.prompt_embed_dim, image_embedding_size=(gs, gs),
             input_image_size=(self.img_size, self.img_size))

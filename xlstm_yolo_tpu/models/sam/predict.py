@@ -28,15 +28,18 @@ CONFIGS = {
                   global_attn_indexes=(5, 11, 17, 23)),
     "vit_h": dict(embed_dim=1280, depth=32, num_heads=16,
                   global_attn_indexes=(7, 15, 23, 31)),
+    # MobileSAM: TinyViT-5M encoder, same prompt encoder + mask decoder
+    # (ref:models/sam/build.py:56)
+    "mobile_sam": dict(encoder_type="tiny"),
 }
 
 
 def build_sam(variant: str = "vit_b", checkpoint: str | Path | None = None,
               img_size: int = 1024):
-    """(SAMModel, params|None). ``checkpoint``: a torch SAM .pt/.pth."""
+    """(SAMModel, variables|None). ``checkpoint``: a torch SAM .pt/.pth."""
     cfg = CONFIGS[variant]
     model = SAMModel(img_size=img_size, **cfg)
-    params = None
+    variables = None
     if checkpoint is not None:
         import torch
 
@@ -44,9 +47,15 @@ def build_sam(variant: str = "vit_b", checkpoint: str | Path | None = None,
         sd = sd.get("model", sd) if isinstance(sd, dict) else sd.state_dict()
         if hasattr(sd, "state_dict"):
             sd = sd.state_dict()
-        params = jax.tree.map(jnp.asarray,
-                              convert_sam_state_dict(sd, depth=cfg["depth"]))
-    return model, params
+        if cfg.get("encoder_type") == "tiny":
+            from .convert import convert_mobile_sam_state_dict
+
+            variables = jax.tree.map(jnp.asarray,
+                                     convert_mobile_sam_state_dict(sd))
+        else:
+            variables = jax.tree.map(
+                jnp.asarray, convert_sam_state_dict(sd, depth=cfg["depth"]))
+    return model, variables
 
 
 class SAMPredictor:
