@@ -50,9 +50,10 @@ def audit_hlo(hlo: str) -> dict:
     counts: Counter = Counter()
     bytes_: Counter = Counter()
     async_pairs = 0
+    shape_re = re.compile(r"([a-z]+[0-9]*)\[([0-9,]*)\]")
     for line in hlo.splitlines():
-        m = re.search(r"=\s*(?:\([^)]*\)\s*)?((?:f|bf|s|u|pred)[0-9]*\[[0-9,]*\]"
-                      r"(?:\{[0-9,]*\})?)?\s*"
+        m = re.search(r"=\s*(\([^)]*\)|(?:f|bf|s|u|pred)[0-9]*\[[0-9,]*\]"
+                      r"(?:\{[0-9,]*\})?)\s*"
                       r"(all-reduce|reduce-scatter|all-gather|collective-permute|"
                       r"all-to-all)(-start|-done)?", line)
         if not m:
@@ -62,15 +63,12 @@ def audit_hlo(hlo: str) -> dict:
             async_pairs += 1
             continue  # payload counted at -start
         counts[op] += 1
-        if shape:
-            sm = re.match(r"([a-z0-9]+)\[([0-9,]*)\]", shape or "")
-            if sm:
-                dt, dims = sm.group(1), sm.group(2)
-                n = 1
-                for d in dims.split(","):
-                    if d:
-                        n *= int(d)
-                bytes_[op] += n * _dtype_bytes(dt)
+        for dt, dims in shape_re.findall(shape or ""):
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            bytes_[op] += n * _dtype_bytes(dt)
     return {
         "counts": dict(counts),
         "mbytes": {k: round(v / 2**20, 2) for k, v in bytes_.items()},

@@ -235,3 +235,41 @@ def convert_mobile_sam_state_dict(state_dict, depths=(2, 2, 6, 2)) -> dict:
         },
         "batch_stats": {"image_encoder": enc_s},
     }
+
+
+# ---------------------------------------------------------------------------
+# SAM2 image encoder: Hiera trunk + FPN neck (ref:encoders.py:446-804)
+# ---------------------------------------------------------------------------
+
+
+def convert_sam2_image_encoder(sd, stages=(1, 2, 7, 2)) -> dict:
+    """image_encoder.* subtree of a SAM2 checkpoint -> flax params for
+    :class:`xlstm_yolo_tpu.models.sam.sam2_encoder.SAM2ImageEncoder`."""
+    depth = sum(stages)
+    trunk = {
+        "patch_embed": _conv(sd, "trunk.patch_embed.proj"),
+        # torch NCHW pos embeds -> NHWC
+        "pos_embed": np.ascontiguousarray(
+            np.transpose(sd["trunk.pos_embed"], (0, 2, 3, 1))),
+        "pos_embed_window": np.ascontiguousarray(
+            np.transpose(sd["trunk.pos_embed_window"], (0, 2, 3, 1))),
+    }
+    for i in range(depth):
+        b = f"trunk.blocks.{i}"
+        blk = {
+            "norm1": _ln(sd, f"{b}.norm1"),
+            "norm2": _ln(sd, f"{b}.norm2"),
+            "attn": {"qkv": _lin(sd, f"{b}.attn.qkv"),
+                     "proj": _lin(sd, f"{b}.attn.proj")},
+            "mlp_fc1": _lin(sd, f"{b}.mlp.layers.0"),
+            "mlp_fc2": _lin(sd, f"{b}.mlp.layers.1"),
+        }
+        if f"{b}.proj.weight" in sd:
+            blk["proj"] = _lin(sd, f"{b}.proj")
+        trunk[f"block{i}"] = blk
+    neck = {}
+    j = 0
+    while f"neck.convs.{j}.conv.weight" in sd:
+        neck[f"conv{j}"] = _conv(sd, f"neck.convs.{j}.conv")
+        j += 1
+    return {"trunk": trunk, "neck": neck}
