@@ -276,17 +276,27 @@ def main():
 
 
 def _probe_worker(timeout_s: int = 300) -> bool:
-    """Tiny-matmul probe in a SUBPROCESS with a hard timeout.
+    """FRESH-shape matmul probe in a SUBPROCESS with a hard timeout.
 
     A wedged remote TPU worker hangs any in-process jax init
     indefinitely (observed 2026-08-17: >3 h); probing in a child keeps
     this process able to report instead of hanging the driver's bench.
+    The probe matmul uses a random never-before-seen dimension: the
+    relay's remote_compile cache is persistent, so a cached-shape probe
+    reports healthy even while the COMPILE SERVICE is down (observed
+    2026-08-20: fresh compiles hang for > 1 h while cached programs run
+    fine) — and bench would then hang on its first real compile.
     """
+    import random
     import subprocess
     import sys
 
-    code = ("import jax.numpy as jnp; "
-            "assert float((jnp.ones((8,8))@jnp.ones((8,8))).sum())==512.0")
+    dim = random.randrange(130, 1000)
+    # finite-check, not an exact-sum check: d**3 is not representable in
+    # bf16/f32 for most d, which would fail healthy runs
+    code = (f"import jax.numpy as jnp; d = {dim}; "
+            "x = jnp.ones((d, d), jnp.bfloat16); "
+            "assert bool(jnp.isfinite((x @ x).sum()))")
     try:
         return subprocess.run(
             [sys.executable, "-c", code], timeout=timeout_s,

@@ -11,7 +11,7 @@ probe_fresh() {
   timeout 240 python -c "
 import jax.numpy as jnp
 x = jnp.ones(($dim, $dim), jnp.bfloat16)
-assert float((x @ x).sum()) == $dim ** 3" 2>/dev/null
+assert bool(jnp.isfinite((x @ x).sum()))" 2>/dev/null
 }
 
 echo "[q4] waiting for compile service $(date +%H:%M:%S)"
