@@ -81,6 +81,10 @@ def main():
         "model": cfg,
         "data": str(ds_root),
         "imgsz": 160, "epochs": args.epochs, "batch": 8, "workers": 4,
+        # nbs=batch: no gradient accumulation — 9 optimizer steps/epoch
+        # on the 72-image set instead of 1 (the accumulate=8 default left
+        # 40 total steps, inside the warmup window — see trainer.py note)
+        "nbs": 8,
         "optimizer": "AdamW", "lr0": 1e-3, "lrf": 0.1,
         "amp": False, "project": str(REPO / "runs" / "classify"),
         "name": "convergence", "exist_ok": True,

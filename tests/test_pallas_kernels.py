@@ -492,3 +492,35 @@ def test_pallas_v2_bw_fused_gates_ragged(rng, monkeypatch):
             np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-5,
             err_msg=f"fused-gates ragged grad {name}",
         )
+
+
+def test_pallas_v2_dmode_exp2_matches_exp(rng, monkeypatch):
+    """D_MODE=exp2 (log2e-scaled exp2) must reproduce exp to fp rounding
+    in both fw and bw."""
+    from xlstm_yolo_tpu.ops.pallas import chunkwise_v2 as m
+
+    B, NH, S, DH, L = 2, 4, 64, 16, 16
+    H = NH * DH
+    q = jnp.asarray(rng.normal(size=(B, S, H)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, S, H)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, H)), jnp.float32)
+    i = jnp.asarray(rng.normal(size=(B, S, NH)) - 5.0, jnp.float32)
+    f = jnp.asarray(rng.normal(size=(B, S, NH)) + 4.0, jnp.float32)
+
+    def run():
+        def loss(q, k, v, i, f):
+            h = m.mlstm_siging_chunkwise_pallas_v2_bsh(
+                q, k, v, i, f, num_heads=NH, chunk_size=L,
+                compute_dtype=jnp.float32)
+            return (h ** 2).sum(), h
+        (l, h), g = jax.value_and_grad(loss, argnums=(0, 1, 3, 4),
+                                       has_aux=True)(q, k, v, i, f)
+        return h, g
+
+    monkeypatch.setattr(m, "D_MODE", "exp")
+    h0, g0 = run()
+    monkeypatch.setattr(m, "D_MODE", "exp2")
+    h1, g1 = run()
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h0), atol=2e-6, rtol=2e-6)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5, rtol=2e-5)

@@ -208,7 +208,14 @@ class DetectionTrainer:
         weight_decay = float(args.weight_decay) * batch * accumulate / nbs
         steps_per_epoch = max(nb // accumulate, 1)
         iterations = steps_per_epoch * epochs
-        warmup_steps = max(round(float(args.warmup_epochs) * steps_per_epoch), 100)
+        # reference floor is 100 LOADER batches (ref:trainer.py:369 nw);
+        # our warmup counter ticks once per OPTIMIZER step, so the floor
+        # divides by `accumulate` — otherwise a small dataset with heavy
+        # accumulation (e.g. 72 imgs, batch 8, nbs 64 -> 1 step/epoch)
+        # never exits warmup and trains at ~0 lr for the whole run
+        # (found by the classification convergence artifact, round 4).
+        warmup_steps = max(round(float(args.warmup_epochs) * steps_per_epoch),
+                           max(1, round(100 / accumulate)))
         sched_fn = opt_lib.cosine_lr if args.cos_lr else opt_lib.linear_lr
         # base schedule WITHOUT warmup — build_optimizer applies the
         # reference warmup semantics (bias group from warmup_bias_lr,

@@ -79,6 +79,28 @@ BW_CFG = {
     "fuse_gates": int(os.environ.get("XY_V2_BW_FUSEG", "0")),
 }
 
+# D-matrix transcendental mode (fw + bw kernels).  The decay matrix
+# D = exp(b^T - b + logi) evaluates an (L, L) exp per head-chunk —
+# ~400M VPU transcendentals per flagship S6400 call, a candidate for
+# the dominant kernel cost (launch-config sweeps measure FLAT, which
+# rules out the MXU/pipeline knobs).  Modes:
+#   exp    jnp.exp (default, reference math)
+#   exp2   jnp.exp2 of log2(e)-scaled exponent (the Triton kernels'
+#          fast path on GPU; A/B whether Mosaic's exp2 is cheaper)
+#   probe  REPLACES exp with a multiply — numerically WRONG, timing
+#          probe only (quantifies the transcendental share)
+D_MODE = os.environ.get("XY_V2_DMODE", "exp")
+_LOG2E = 1.4426950408889634
+
+
+def _exp_d(arg):
+    """exp(arg) under the selected D_MODE (see above)."""
+    if D_MODE == "exp2":
+        return jnp.exp2(arg * _LOG2E)
+    if D_MODE == "probe":
+        return 1.0 + arg * 1e-9  # keeps the operand chain alive, no exp
+    return jnp.exp(arg)
+
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
@@ -155,7 +177,7 @@ def _fw_body(
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=f32,
             ) * qk_scale
-            sd = jnp.where(causal, s * jnp.exp(b.T - b + logi), 0.0)
+            sd = jnp.where(causal, s * _exp_d(b.T - b + logi), 0.0)
 
             h_intra = jax.lax.dot_general(
                 sd.astype(dtype), v.astype(dtype),
@@ -477,7 +499,7 @@ def _bw_fused_kernel(
             n_row = nout_ref[0, local, 0, h : h + 1, :]  # pad slots are 1.0
             dhn = dh.astype(f32) / (n_row.T + eps)  # (L, DHHV)
 
-            D = jnp.where(causal, jnp.exp(b.T - b + logi), 0.0)
+            D = jnp.where(causal, _exp_d(b.T - b + logi), 0.0)
 
             # P = (dhn V^T) ∘ D  (L, L)
             P = jax.lax.dot_general(
