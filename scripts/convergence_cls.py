@@ -62,7 +62,7 @@ def write_dataset(root: Path, n_per_class_train=24, n_per_class_val=8, size=160)
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=40)
+    ap.add_argument("--epochs", type=int, default=120)
     args = ap.parse_args()
 
     from xlstm_yolo_tpu.engine.trainer import DetectionTrainer
@@ -85,7 +85,11 @@ def main():
         # on the 72-image set instead of 1 (the accumulate=8 default left
         # 40 total steps, inside the warmup window — see trainer.py note)
         "nbs": 8,
-        "optimizer": "AdamW", "lr0": 1e-3, "lrf": 0.1,
+        "optimizer": "AdamW", "lr0": 2e-3, "lrf": 0.1,
+        # gentle crops: RandomResizedCrop area (0.8, 1.0) — the default
+        # (0.5, 1.0) often crops the 30 px shape out of the 160 px frame,
+        # injecting label noise the 72-image set can't average away
+        "scale": 0.2,
         "amp": False, "project": str(REPO / "runs" / "classify"),
         "name": "convergence", "exist_ok": True,
         "val": True, "plots": False, "patience": 1000,

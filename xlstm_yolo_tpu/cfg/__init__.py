@@ -78,6 +78,97 @@ def get_cfg(cfg: dict | str | Path | None = None, overrides: dict | None = None)
     return SimpleNamespace(**base)
 
 
+#: special first-word commands (parity: ref:cfg/__init__.py:555-690
+#: handle_yolo_settings / handle_yolo_solutions + the version/checks/cfg
+#: words of the reference entrypoint; `hub` is scoped out with hub/).
+SPECIAL = {"settings", "version", "checks", "cfg", "solutions"}
+
+
+def _handle_special(cmd: str, rest: list[str]) -> Any:
+    if cmd == "version":
+        from importlib.metadata import PackageNotFoundError, version as _v
+
+        try:
+            v = _v("xlstm-yolo-tpu")
+        except PackageNotFoundError:
+            v = "0.1.0 (source checkout)"
+        print(v)
+        return v
+    if cmd == "cfg":
+        import json
+
+        cfg = load_default_cfg()
+        print("\n".join(f"{k}={cfg[k]}" for k in sorted(cfg)))
+        return cfg
+    if cmd == "checks":
+        import jax
+
+        from xlstm_yolo_tpu.utils.checks import check_jax_backend
+
+        info = {
+            "jax": jax.__version__,
+            "backend": check_jax_backend(),
+            "devices": [str(d) for d in jax.devices()],
+        }
+        for k, v in info.items():
+            print(f"{k}: {v}")
+        return info
+    if cmd == "settings":
+        from xlstm_yolo_tpu.utils import SETTINGS
+
+        if rest and rest[0] == "reset":
+            SETTINGS.reset()
+            print("settings reset")
+        else:
+            for a in rest:
+                if "=" in a:
+                    k, v = a.split("=", 1)
+                    # settings keys are not cfg keys: generic YAML coercion
+                    SETTINGS.update(**{k: yaml.safe_load(v)})
+            SETTINGS.save()
+        for k, v in sorted(SETTINGS.items()):
+            print(f"{k}={v}")
+        return dict(SETTINGS)
+    # solutions: `yolo solutions [name] source=... key=value ...`
+    import xlstm_yolo_tpu.solutions as sol
+
+    registry = {
+        "count": sol.ObjectCounter, "heatmap": sol.Heatmap,
+        "speed": sol.SpeedEstimator, "queue": sol.QueueManager,
+        "region": sol.RegionCounter, "distance": sol.DistanceCalculation,
+        "workout": sol.AIGym, "trackzone": sol.TrackZone,
+        "analytics": sol.Analytics, "parking": sol.ParkingManagement,
+        "security": sol.SecurityAlarm,
+    }
+    if not rest or rest[0] not in registry:
+        print(f"available solutions: {sorted(registry)}")
+        return sorted(registry)
+    name, kv = rest[0], {}
+    for a in rest[1:]:
+        if "=" in a:
+            k, v = a.split("=", 1)
+            kv[k] = _coerce(k, v)
+    source = kv.pop("source", None)
+    inst = registry[name](**kv)
+    if source is None:
+        print(f"{name}: constructed; pass source=<video|image> to run")
+        return inst
+    from xlstm_yolo_tpu.data.loaders import LoadImagesAndVideos
+
+    # each solution exposes a per-frame verb; duck-type the first match
+    verb = next(v for v in ("process", "count", "estimate_speed", "monitor",
+                            "process_queue", "process_data")
+                if hasattr(inst, v))
+    run = getattr(inst, verb)
+    n = 0
+    for paths, imgs, infos in LoadImagesAndVideos(str(source)):
+        for im in imgs:
+            run(im)
+            n += 1
+    print(f"{name}: processed {n} frames from {source}")
+    return inst
+
+
 def entrypoint(argv: list[str] | None = None) -> Any:
     """CLI: ``yolo TASK MODE k=v ...`` (parity: cfg/__init__.py:825)."""
     import sys
@@ -85,8 +176,11 @@ def entrypoint(argv: list[str] | None = None) -> Any:
     args = argv if argv is not None else sys.argv[1:]
     if not args or args[0] in {"-h", "--help", "help"}:
         print("usage: yolo [task] mode key=value ...\n"
-              f"  tasks: {sorted(TASKS)}\n  modes: {sorted(MODES)}")
+              f"  tasks: {sorted(TASKS)}\n  modes: {sorted(MODES)}\n"
+              f"  special: {sorted(SPECIAL)}")
         return None
+    if args[0] in SPECIAL:
+        return _handle_special(args[0], list(args[1:]))
 
     task, mode = "detect", None
     overrides: dict[str, Any] = {}

@@ -64,6 +64,9 @@ class SettingsManager(dict):
         super().update(*args, **kwargs)
 
     def reset(self):
+        # remove the stored file FIRST: __init__ re-reads it on a version
+        # match, which used to silently undo the reset
+        self.path.unlink(missing_ok=True)
         self.clear()
         self.__init__(self.path, self.version)
         self.save()
