@@ -4,7 +4,11 @@ convergence set for all five task families — detect/segment/pose/obb
 via the sibling convergence_*.py scripts).
 
 Trains the tiny 160px ViL classifier on a synthetic 3-class shape
-dataset (circle / square / triangle on noisy backgrounds), validating
+dataset (circle / square / triangle on noisy backgrounds; 96/class —
+batch-8 minibatch training on the original 24/class set provably stalls
+at the label prior even OUTSIDE the framework loop, see
+scripts/diag_cls_trainer_path.py, so the artifact uses batch 24 on the
+larger set), validating
 top-1/top-5 accuracy every epoch via ClassificationValidator, and
 writes:
 - runs/classify/convergence/results.csv
@@ -70,7 +74,7 @@ def main():
     ds_root = Path("/tmp/convergence_cls_ds")
     if ds_root.exists():
         shutil.rmtree(ds_root)
-    write_dataset(ds_root)
+    write_dataset(ds_root, n_per_class_train=96, n_per_class_val=16)
     run_dir = REPO / "runs" / "classify" / "convergence"
     if run_dir.exists():
         shutil.rmtree(run_dir)
@@ -80,15 +84,15 @@ def main():
         "task": "classify",
         "model": cfg,
         "data": str(ds_root),
-        "imgsz": 160, "epochs": args.epochs, "batch": 8, "workers": 4,
+        "imgsz": 160, "epochs": args.epochs, "batch": 24, "workers": 4,
         # nbs=batch: no gradient accumulation — 9 optimizer steps/epoch
         # on the 72-image set instead of 1 (the accumulate=8 default left
         # 40 total steps, inside the warmup window — see trainer.py note)
-        "nbs": 8,
-        "optimizer": "AdamW", "lr0": 2e-3, "lrf": 0.1,
+        "nbs": 24,
+        "optimizer": "AdamW", "lr0": 1e-3, "lrf": 0.1,
         # gentle crops: RandomResizedCrop area (0.8, 1.0) — the default
         # (0.5, 1.0) often crops the 30 px shape out of the 160 px frame,
-        # injecting label noise the 72-image set can't average away
+        # injecting label noise this small set can't average away
         "scale": 0.2,
         "amp": False, "project": str(REPO / "runs" / "classify"),
         "name": "convergence", "exist_ok": True,

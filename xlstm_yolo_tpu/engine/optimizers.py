@@ -181,6 +181,11 @@ def bias_label_fn(params) -> Any:
     return jax.tree_util.tree_map_with_path(lab, params)
 
 
+# Adam-family names whose normalized updates forbid the 0.1 bias warmup
+# lr (parity: ref:engine/trainer.py:798).
+_ADAM_FAMILY = {"Adam", "AdamW", "Adamax", "NAdam", "RAdam", "AdEMAMix"}
+
+
 def build_optimizer(
     params,
     name: str = "auto",
@@ -208,6 +213,13 @@ def build_optimizer(
     if name == "auto":
         lr_fit = round(0.002 * 5 / (4 + nc), 6)
         name, lr, momentum = ("SGD", 0.01, 0.9) if iterations > 10000 else ("AdamW", lr_fit, 0.9)
+    if name in _ADAM_FAMILY:
+        # Adam-normalized updates make a 0.1 bias warmup lr catastrophic
+        # (gate biases saturate in ~30 steps and the net collapses to the
+        # label prior — found by the classify convergence artifact).
+        # Parity: ref:engine/trainer.py:798 "warmup_bias_lr = 0.0; no
+        # higher than 0.01 for Adam".
+        warmup_bias_lr = 0.0
 
     mask = decay_mask_fn(params)
     warm = warmup_steps > 0
@@ -316,6 +328,8 @@ def build_flat_optimizer(
         name, lr, momentum = ("SGD", 0.01, 0.9) if iterations > 10000 else ("AdamW", lr_fit, 0.9)
     if name == "RMSProp":
         raise NotImplementedError("flat RMSProp: use build_optimizer")
+    if name in _ADAM_FAMILY:
+        warmup_bias_lr = 0.0  # ref:engine/trainer.py:798
 
     wd_mask, bias_mask = _flat_bool_masks(params)
     warm = warmup_steps > 0
@@ -502,6 +516,8 @@ def build_hybrid_optimizer(
         name, lr, momentum = ("SGD", 0.01, 0.9) if iterations > 10000 else ("AdamW", lr_fit, 0.9)
     if name == "RMSProp":
         raise NotImplementedError("hybrid RMSProp: use build_optimizer")
+    if name in _ADAM_FAMILY:
+        warmup_bias_lr = 0.0  # ref:engine/trainer.py:798
 
     import numpy as np
 
