@@ -158,3 +158,44 @@ def test_flat_train_step_matches_tree_and_roundtrips(tmp_path):
     np.testing.assert_allclose(np.asarray(restored.ema_flat),
                                np.asarray(st_f.ema_flat), rtol=1e-6)
     assert int(restored.step) == int(st_f.step)
+
+
+@pytest.mark.parametrize("name", ["AdamW", "Adam", "AdEMAMix"])
+def test_adam_family_bias_warmup_zeroed(name):
+    """Adam-family builders must ignore warmup_bias_lr (parity:
+    ref:engine/trainer.py:798 zeroes it — "no higher than 0.01 for
+    Adam"): during warmup the bias group's first update must NOT be
+    boosted toward lr 0.1. Regression for the round-4 classify-stall
+    bug (Adam-normalized 0.1-lr bias steps saturate ViL gate biases)."""
+    params = _params(jax.random.PRNGKey(0))
+    kw = dict(name=name, lr=0.01, momentum=0.9, weight_decay=0.0,
+              iterations=20, clip_norm=1e9, warmup_steps=100,
+              warmup_bias_lr=0.1)
+    tx, _, _ = opt_lib.build_optimizer(params, **kw)
+    st = tx.init(params)
+    g = jax.tree.map(jnp.ones_like, params)
+    u, _ = tx.update(g, st, params)
+    # step 1 of 100-step warmup: non-bias lr ~ 0.01/100 = 1e-4; a leaked
+    # 0.1 bias warmup start would give the bias group |u| ~ 0.1 (Adam
+    # update magnitude ~ lr). Bias update must be the same order as the
+    # kernel update, not ~1000x larger.
+    bias_mag = float(jnp.abs(u["conv"]["bias"]).max())
+    kern_mag = float(jnp.abs(u["conv"]["kernel"]).max())
+    assert bias_mag < 10 * kern_mag + 1e-8, (name, bias_mag, kern_mag)
+    assert bias_mag < 1e-2, (name, bias_mag)
+
+
+def test_sgd_bias_warmup_kept():
+    """SGD keeps the reference's 0.1 bias warmup lr (trainer.py:369-378)."""
+    params = _params(jax.random.PRNGKey(0))
+    kw = dict(name="SGD", lr=0.01, momentum=0.9, weight_decay=0.0,
+              iterations=20, clip_norm=1e9, warmup_steps=100,
+              warmup_bias_lr=0.1)
+    tx, _, _ = opt_lib.build_optimizer(params, **kw)
+    st = tx.init(params)
+    g = jax.tree.map(jnp.ones_like, params)
+    u, _ = tx.update(g, st, params)
+    bias_mag = float(jnp.abs(u["conv"]["bias"]).max())
+    kern_mag = float(jnp.abs(u["conv"]["kernel"]).max())
+    # bias group starts near 0.1*(1-1/100) ~ 0.099 lr; kernel near 1e-4
+    assert bias_mag > 100 * kern_mag, (bias_mag, kern_mag)
