@@ -49,6 +49,7 @@ def test_export_formats_table():
     assert {"stablehlo", "orbax", "orbax_int8", "savedmodel", "tflite"} <= fmts
 
 
+@pytest.mark.slow
 def test_stablehlo_roundtrip(bundle, img, tmp_path):
     args = SimpleNamespace(format="stablehlo", imgsz=IMGSZ, batch=1)
     path = Exporter(args)(bundle, out_dir=tmp_path)
@@ -60,6 +61,7 @@ def test_stablehlo_roundtrip(bundle, img, tmp_path):
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_orbax_roundtrip_via_autobackend(bundle, img, tmp_path):
     from xlstm_yolo_tpu.nn.autobackend import AutoBackend
 
@@ -72,6 +74,7 @@ def test_orbax_roundtrip_via_autobackend(bundle, img, tmp_path):
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_orbax_int8_bounded_error(bundle, img, tmp_path):
     from xlstm_yolo_tpu.nn.autobackend import AutoBackend
 
@@ -107,6 +110,7 @@ def test_quantize_tree_dequant_error_bound():
                                atol=np.abs(params["dense"]["bias"]).max() / 126)
 
 
+@pytest.mark.slow
 def test_tflite_roundtrip(bundle, img, tmp_path):
     tf = pytest.importorskip("tensorflow")
     args = SimpleNamespace(format="tflite", imgsz=IMGSZ, batch=1)

@@ -156,9 +156,14 @@ def _handle_special(cmd: str, rest: list[str]) -> Any:
     from xlstm_yolo_tpu.data.loaders import LoadImagesAndVideos
 
     # each solution exposes a per-frame verb; duck-type the first match
-    verb = next(v for v in ("process", "count", "estimate_speed", "monitor",
-                            "process_queue", "process_data")
-                if hasattr(inst, v))
+    verb = next((v for v in ("process", "count", "estimate_speed", "monitor",
+                             "process_queue", "process_data")
+                 if hasattr(inst, v)), None)
+    if verb is None:
+        raise SystemExit(
+            f"solution '{name}' exposes no runnable per-frame verb "
+            "(expected one of process/count/estimate_speed/monitor/"
+            "process_queue/process_data)")
     run = getattr(inst, verb)
     n = 0
     for paths, imgs, infos in LoadImagesAndVideos(str(source)):

@@ -200,8 +200,11 @@ def make_train_step(
         if device_aug:
             from xlstm_yolo_tpu.data.device_augment import apply_device_aug
 
+            # fold_in constant 11: distinct from the RT-DETR 'dn' stream
+            # (fold_in(rng, 7) below) so aug and denoising randomness
+            # never correlate when both are active.
             batch = apply_device_aug(
-                batch, jax.random.fold_in(rng, 7), device_aug)
+                batch, jax.random.fold_in(rng, 11), device_aug)
         img = batch["img"]
         if img.dtype == jnp.uint8:
             # normalize on-device: the host ships 1/4 the bytes

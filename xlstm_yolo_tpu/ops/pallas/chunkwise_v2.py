@@ -92,6 +92,16 @@ BW_CFG = {
 D_MODE = os.environ.get("XY_V2_DMODE", "exp")
 _LOG2E = 1.4426950408889634
 
+if D_MODE == "probe":  # loud guard: a stale env var would corrupt training
+    import warnings
+
+    warnings.warn(
+        "XY_V2_DMODE=probe replaces exp with a multiply — the mLSTM "
+        "decay math is WRONG in this mode.  Timing probes only; unset "
+        "the env var before any training or parity run.",
+        stacklevel=2,
+    )
+
 
 def _exp_d(arg):
     """exp(arg) under the selected D_MODE (see above)."""

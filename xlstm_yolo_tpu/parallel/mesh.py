@@ -49,8 +49,14 @@ def initialize_distributed():
             num_processes=int(nproc) if nproc else None,
             process_id=int(pid) if pid else None,
         )
-    except RuntimeError:
-        pass  # already initialized (ours or another caller's)
+    except RuntimeError as e:
+        # Only swallow the benign "already initialized" case.  Anything
+        # else (coordinator unreachable, bad topology — XlaRuntimeError
+        # subclasses RuntimeError) must surface, or a misconfigured
+        # multi-host launch silently degrades to single-process while
+        # peers hang at the barrier.
+        if "already" not in str(e).lower():
+            raise
 
 
 def global_batch_from_local(batch: Any, mesh: Mesh, axis: int = 0) -> Any:
