@@ -183,8 +183,11 @@ def main():
             return sum(x.sum() for v in gr.values() for x in v)
         timeit_scan("e2e_batched_grad", ebgrad, stacked)
 
-    # ---- fused Pallas TAL-metric kernel variants (XY_TAL_KERNEL is read
-    # at trace time inside task_aligned_assign) ----
+    # ---- fused Pallas TAL-metric kernel variants ----
+    # HISTORICAL (r3/r4): XY_TAL_KERNEL was removed from task_aligned_assign
+    # after the r5 full-train-step A/B measured flat (scripts/exp_tal_ab.py,
+    # docs/KERNEL_PLATEAU.md) — these steps now time the jnp path twice.
+    # Use utils/tal.task_aligned_assign_pallas_metric for kernel timings.
     if "e2e_kernel" in steps:
         os.environ["XY_TAL_KERNEL"] = "1"
         timeit_scan("e2e_twopass_kernel", lambda b: e2e_detect_loss(

@@ -195,18 +195,15 @@ def main():
         ap = anc * stride_t
 
         def run(flag):
-            saved = os.environ.get("XY_TAL_KERNEL")
-            os.environ["XY_TAL_KERNEL"] = flag
-            try:
-                res = jax.jit(lambda *a: task_aligned_assign(
-                    *a, topk=10, num_classes=nc))(
-                        scores, pb, ap, gl, gb, mg)
-                return jax.tree.map(np.asarray, res)
-            finally:
-                if saved is None:
-                    os.environ.pop("XY_TAL_KERNEL", None)
-                else:
-                    os.environ["XY_TAL_KERNEL"] = saved
+            from xlstm_yolo_tpu.utils.tal import (
+                task_aligned_assign_pallas_metric,
+            )
+
+            fn = (task_aligned_assign_pallas_metric if flag == "1"
+                  else task_aligned_assign)
+            res = jax.jit(lambda *a: fn(*a, topk=10, num_classes=nc))(
+                scores, pb, ap, gl, gb, mg)
+            return jax.tree.map(np.asarray, res)
 
         k_res, j_res = run("1"), run("0")
         err = max(

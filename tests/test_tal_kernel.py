@@ -39,9 +39,10 @@ def _mk(B=3, A=200, M=9, nc=11, seed=0, degenerate=False):
 
 
 def _run(kernel: bool, args, monkeypatch, topk=10, topk_arr=None):
-    monkeypatch.setenv("XY_TAL_KERNEL", "1" if kernel else "0")
-    return tal.task_aligned_assign(
-        *args, topk=topk, num_classes=args[0].shape[-1], topk_arr=topk_arr)
+    fn = (tal.task_aligned_assign_pallas_metric if kernel
+          else tal.task_aligned_assign)
+    return fn(*args, topk=topk, num_classes=args[0].shape[-1],
+              topk_arr=topk_arr)
 
 
 @pytest.mark.parametrize("degenerate", [False, True])

@@ -413,6 +413,10 @@ class MatrixLSTMCell(nn.Module):
     eps: float = 5e-5
     compute_dtype: Any = None  # cast q/k/v for the kernel (e.g. bf16)
     fuse_outnorm: bool = False  # fuse LN into the v2 kernel (see _call_v2_bsh)
+    defer_outnorm: bool = False  # return (h_raw, (ln_w, ln_b)) on the v2
+    # path so the CALLER can fuse [outnorm -> skip -> proj_down] into one
+    # custom-VJP epilogue (ops/pallas/epilogue.py); params still declared
+    # here under 'outnorm' so checkpoints are identical either way
 
     @nn.compact
     def __call__(self, q, k, v, state=None):
@@ -542,6 +546,12 @@ class MatrixLSTMCell(nn.Module):
             return_last_states=want_state,
         )
         h, new_state = out if want_state else (out, None)
+        if self.defer_outnorm and not want_state:
+            # hand the raw (B, S, H) kernel output + the outnorm params to
+            # the caller's fused [norm -> skip -> proj_down] epilogue
+            w, b = _MHLNParams(NH * DH, use_bias=self.norm_bias,
+                               name="outnorm")()
+            return h.astype(q.dtype), (w, b)
         h = MultiHeadLayerNorm(
             num_heads=NH, head_dim=DH, use_bias=self.norm_bias, eps=1e-6,
             data_format="BSND", name="outnorm",
@@ -572,6 +582,30 @@ class _MHLNParams(nn.Module):
 # or "split" (three sliced matmuls, no concat buffer) — param-compatible
 # (same {"ifgate": {"kernel", "bias"}} tree); selected by env like DW_IMPL
 IFGATE_IMPL = _os.environ.get("XY_IFGATE", "concat")
+
+# fused [outnorm -> skip -> proj_down] training epilogue (custom VJP with
+# a Pallas backward, ops/pallas/epilogue.py) — param-compatible; flip on
+# measurement only (scripts/exp_epilogue.py)
+EPI_FUSE = _os.environ.get("XY_EPI_FUSE", "0") == "1"
+
+
+class _DenseParams(nn.Module):
+    """Declares an nn.Dense's params (same names/shapes/init) without
+    running it — used when the dense is folded into a fused epilogue;
+    sharing the name keeps checkpoints identical across paths."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+    kernel_init: Callable = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self):
+        w = self.param("kernel", self.kernel_init,
+                       (self.in_features, self.features), f32)
+        b = (self.param("bias", nn.initializers.zeros, (self.features,), f32)
+             if self.use_bias else None)
+        return w, b
 
 
 class _IfGateParams(nn.Module):
@@ -682,18 +716,46 @@ class ViLLayer(nn.Module):
             # wrapper for now.  Both pass the CPU goldens vs the torch
             # reference (numerics are chunking-invariant).
             mode = self.mode or ("train_with_padding" if self.training else "inference")
-            h = MatrixLSTMCell(
+            # fused [outnorm -> skip -> proj_down] epilogue: forward math
+            # identical (ops/pallas/epilogue.epilogue_forward), backward is
+            # one Pallas kernel instead of ~2.8 ms/direction of XLA
+            # elementwise VJPs at S=6400 (exp_layer_bwd r4). Train-only and
+            # v2-kernel-only; eval programs are unchanged.
+            S_tokens = xn.shape[1]
+            fuse_epi = (
+                EPI_FUSE and self.training
+                and self.chunkwise_kernel.endswith("pallas_xl_chunk_siging_v2")
+                and S_tokens >= 1024
+            )
+            cell_out = MatrixLSTMCell(
                 dim=inner, num_heads=nh, chunk_size=self.chunk_size, mode=mode,
                 gate_soft_cap=self.gate_soft_cap, norm_bias=self.norm_bias,
                 chunkwise_kernel=self.chunkwise_kernel,
-                compute_dtype=self.compute_dtype, name="mlstm_cell",
+                compute_dtype=self.compute_dtype, defer_outnorm=fuse_epi,
+                name="mlstm_cell",
             )(q, k, v)
             skip = self.param("learnable_skip", nn.initializers.ones, (inner,), f32)
-            h = h + skip.astype(h.dtype) * x_qk_act
-            out = nn.Dense(
-                dim, use_bias=self.proj_bias, dtype=self.compute_dtype,
-                kernel_init=wang_init(dim, self.num_blocks), name="proj_down",
-            )(h)
+            if fuse_epi and isinstance(cell_out, tuple):
+                from xlstm_yolo_tpu.ops.pallas.epilogue import epilogue_fused
+
+                h_raw, (ln_w, ln_b) = cell_out
+                wd, bd = _DenseParams(
+                    in_features=inner, features=dim, use_bias=self.proj_bias,
+                    kernel_init=wang_init(dim, self.num_blocks),
+                    name="proj_down")()
+                if ln_b is None:
+                    ln_b = jnp.zeros_like(ln_w)
+                if bd is None:
+                    bd = jnp.zeros((dim,), f32)
+                out = epilogue_fused(h_raw, x_qk_act, ln_w, ln_b, skip,
+                                     wd, bd, nh, 1e-6)
+            else:
+                h = cell_out
+                h = h + skip.astype(h.dtype) * x_qk_act
+                out = nn.Dense(
+                    dim, use_bias=self.proj_bias, dtype=self.compute_dtype,
+                    kernel_init=wang_init(dim, self.num_blocks), name="proj_down",
+                )(h)
             if self.direction == BACKWARD:
                 out = jnp.flip(out, axis=1)
             return out

@@ -165,18 +165,12 @@ def task_aligned_assign(
     M = gt_bboxes.shape[1]
     mask_gt = mask_gt.astype(bool)  # (B, M)
 
-    # fused Pallas metric stage (steps 1-3 in one kernel, VMEM-resident;
-    # ops/pallas/tal_metric.py) — opt-in via XY_TAL_KERNEL until measured
-    if (os.environ.get("XY_TAL_KERNEL", "0") == "1" and not rotated
-            and alpha == 0.5 and beta == 6.0):
-        from xlstm_yolo_tpu.ops.pallas.tal_metric import tal_metric_pallas
-
-        align_metric, overlaps, mask_pos = tal_metric_pallas(
-            pd_scores, pd_bboxes, anc_points, gt_labels, gt_bboxes, mask_gt,
-            topk=topk, num_classes=num_classes, eps=eps, topk_arr=topk_arr)
-        return _assign_from_metric(
-            align_metric, overlaps, mask_pos, gt_labels, gt_bboxes, fg_eps=eps,
-            num_classes=num_classes)
+    # NOTE: a fused Pallas metric stage exists (ops/pallas/tal_metric.py,
+    # TPU-parity-green) but the full-train-step A/B measured FLAT
+    # (164.65 vs 164.47 ms/step median over 4 interleaved rounds,
+    # scripts/exp_tal_ab.py r5; docs/KERNEL_PLATEAU.md) — the loss
+    # section's cost is chain latency, not assigner-metric kernels — so
+    # the jnp masked-dense path below stays the only integration.
 
     # 1) anchors whose center lies inside each gt box  (B, M, A)
     if rotated:
@@ -221,6 +215,27 @@ def task_aligned_assign(
     mask_topk = topk_select_mask(align_metric, topk, topk_arr) & mask_gt[..., None]
 
     mask_pos = mask_topk & valid  # (B, M, A)
+    return _assign_from_metric(
+        align_metric, overlaps, mask_pos, gt_labels, gt_bboxes, fg_eps=eps,
+        num_classes=num_classes)
+
+
+def task_aligned_assign_pallas_metric(
+    pd_scores, pd_bboxes, anc_points, gt_labels, gt_bboxes, mask_gt,
+    topk: int = 10, num_classes: int = 80, eps: float = 1e-9, topk_arr=None,
+) -> AssignResult:
+    """task_aligned_assign with the fused Pallas metric stage
+    (ops/pallas/tal_metric.py) — exactness-tested vs the jnp path
+    (tests/test_tal_kernel.py, TPU_PARITY.json) but NOT integrated in the
+    train step: the full-step A/B measured flat (scripts/exp_tal_ab.py,
+    docs/KERNEL_PLATEAU.md).  Kept as an explicit entry point for
+    DH/shape regimes where the metric stage dominates."""
+    from xlstm_yolo_tpu.ops.pallas.tal_metric import tal_metric_pallas
+
+    align_metric, overlaps, mask_pos = tal_metric_pallas(
+        pd_scores, pd_bboxes, anc_points, gt_labels, gt_bboxes,
+        mask_gt.astype(bool), topk=topk, num_classes=num_classes, eps=eps,
+        topk_arr=topk_arr)
     return _assign_from_metric(
         align_metric, overlaps, mask_pos, gt_labels, gt_bboxes, fg_eps=eps,
         num_classes=num_classes)
