@@ -106,7 +106,14 @@ def convert_prompt_encoder(sd) -> dict:
     return p
 
 
-def convert_two_way_transformer(sd, prefix: str, depth: int = 2) -> dict:
+def convert_two_way_transformer(sd, prefix: str, depth: int = 2,
+                                sam2: bool = False) -> dict:
+    # SAM2TwoWayAttentionBlock swaps MLPBlock(lin1/lin2) for a 2-layer
+    # MLP named layers.0/1 (ref:blocks.py:264-325) — same relu math,
+    # different state-dict names
+    mlp = ((lambda b: {"lin1": _lin(sd, f"{b}.mlp.layers.0"),
+                       "lin2": _lin(sd, f"{b}.mlp.layers.1")})
+           if sam2 else (lambda b: _mlp_block(sd, f"{b}.mlp")))
     p = {}
     for i in range(depth):
         b = f"{prefix}layers.{i}"
@@ -114,7 +121,7 @@ def convert_two_way_transformer(sd, prefix: str, depth: int = 2) -> dict:
             "self_attn": _attn_ds(sd, f"{b}.self_attn"),
             "cross_attn_token_to_image": _attn_ds(sd, f"{b}.cross_attn_token_to_image"),
             "cross_attn_image_to_token": _attn_ds(sd, f"{b}.cross_attn_image_to_token"),
-            "mlp": _mlp_block(sd, f"{b}.mlp"),
+            "mlp": mlp(b),
             "norm1": _ln(sd, f"{b}.norm1"),
             "norm2": _ln(sd, f"{b}.norm2"),
             "norm3": _ln(sd, f"{b}.norm3"),
@@ -125,11 +132,13 @@ def convert_two_way_transformer(sd, prefix: str, depth: int = 2) -> dict:
     return p
 
 
-def convert_mask_decoder(sd, num_mask_tokens: int = 4, tf_depth: int = 2) -> dict:
+def convert_mask_decoder(sd, num_mask_tokens: int = 4, tf_depth: int = 2,
+                         sam2: bool = False) -> dict:
     p = {
         "iou_token": np.asarray(sd["iou_token.weight"])[0],
         "mask_tokens": np.asarray(sd["mask_tokens.weight"]),
-        "transformer": convert_two_way_transformer(sd, "transformer.", tf_depth),
+        "transformer": convert_two_way_transformer(sd, "transformer.",
+                                                   tf_depth, sam2=sam2),
         "upscale_conv1": _convT(sd, "output_upscaling.0"),
         "upscale_ln": _ln2d(sd, "output_upscaling.1"),
         "upscale_conv2": _convT(sd, "output_upscaling.3"),
@@ -273,3 +282,58 @@ def convert_sam2_image_encoder(sd, stages=(1, 2, 7, 2)) -> dict:
         neck[f"conv{j}"] = _conv(sd, f"neck.convs.{j}.conv")
         j += 1
     return {"trunk": trunk, "neck": neck}
+
+
+def convert_memory_attention(sd, num_layers: int = 4) -> dict:
+    """Torch MemoryAttention state-dict -> flax params
+    (ref:ultralytics/models/sam/modules/memory_attention.py:140-237)."""
+    p = {"norm": _ln(sd, "norm")}
+    for i in range(num_layers):
+        t = f"layers.{i}"
+        p[f"layers_{i}"] = {
+            "self_attn": _attn_ds(sd, f"{t}.self_attn"),
+            "cross_attn_image": _attn_ds(sd, f"{t}.cross_attn_image"),
+            "linear1": _lin(sd, f"{t}.linear1"),
+            "linear2": _lin(sd, f"{t}.linear2"),
+            "norm1": _ln(sd, f"{t}.norm1"),
+            "norm2": _ln(sd, f"{t}.norm2"),
+            "norm3": _ln(sd, f"{t}.norm3"),
+        }
+    return p
+
+
+def convert_memory_encoder(sd) -> dict:
+    """Torch MemoryEncoder state-dict -> flax params
+    (ref:ultralytics/models/sam/modules/encoders.py:378-445)."""
+    md = {}
+    for i in (0, 3, 6, 9):
+        md[f"encoder_{i}"] = _conv(sd, f"mask_downsampler.encoder.{i}")
+        md[f"encoder_{i + 1}"] = _ln(sd, f"mask_downsampler.encoder.{i + 1}")
+    md["encoder_12"] = _conv(sd, "mask_downsampler.encoder.12")
+    fus = {}
+    for i in range(2):
+        t = f"fuser.layers.{i}"
+        fus[f"layers_{i}"] = {
+            "dwconv": _conv(sd, f"{t}.dwconv"),
+            "norm": _ln(sd, f"{t}.norm"),
+            "pwconv1": _lin(sd, f"{t}.pwconv1"),
+            "pwconv2": _lin(sd, f"{t}.pwconv2"),
+            "gamma": np.asarray(sd[f"{t}.gamma"]),
+        }
+    p = {"mask_downsampler": md, "pix_feat_proj": _conv(sd, "pix_feat_proj"),
+         "fuser": fus}
+    if "out_proj.weight" in sd:
+        p["out_proj"] = _conv(sd, "out_proj")
+    return p
+
+
+def convert_sam2_mask_decoder(sd, tf_depth: int = 2) -> dict:
+    """Torch SAM2MaskDecoder state-dict -> flax SAM2MaskDecoder params
+    (ref:ultralytics/models/sam/modules/decoders.py:176-312).  conv_s0/s1
+    are intentionally NOT mapped here — they live on SAM2Base in the flax
+    layout (applied once per frame, ref:sam.py:594-602)."""
+    p = convert_mask_decoder(sd, num_mask_tokens=4, tf_depth=tf_depth,
+                             sam2=True)
+    p["obj_score_token"] = np.asarray(sd["obj_score_token.weight"])[0]
+    p["pred_obj_score_head"] = _sam_mlp(sd, "pred_obj_score_head", 3)
+    return p

@@ -584,9 +584,50 @@ class _MHLNParams(nn.Module):
 IFGATE_IMPL = _os.environ.get("XY_IFGATE", "concat")
 
 # fused [outnorm -> skip -> proj_down] training epilogue (custom VJP with
-# a Pallas backward, ops/pallas/epilogue.py) — param-compatible; flip on
-# measurement only (scripts/exp_epilogue.py)
-EPI_FUSE = _os.environ.get("XY_EPI_FUSE", "0") == "1"
+# a Pallas backward, ops/pallas/epilogue.py) — param-compatible.  Default
+# ON: measured 164.67 -> 159.66 ms/step (+3.1%) on the flagship b8 train
+# step, 4 interleaved rounds (scripts/exp_epilogue.py, r5).  XY_EPI_FUSE=0
+# reverts to the plain XLA VJP path.
+EPI_FUSE = _os.environ.get("XY_EPI_FUSE", "1") == "1"
+
+
+# fused [ffn_norm -> FFN] training branch (custom VJP with a Pallas
+# backward, ops/pallas/ffn.py) — param-compatible; flip on measurement
+# only (scripts/exp_ffn_fuse.py)
+FFN_FUSE = _os.environ.get("XY_FFN_FUSE", "0") == "1"
+
+
+class _RMSNormParams(nn.Module):
+    """Declares RMSNorm's 'weight' (same name/shape/init) without
+    running it — used when the norm folds into a fused branch."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("weight", nn.initializers.ones, (self.dim,), f32)
+
+
+class _FFNParams(nn.Module):
+    """Declares FeedForward's params (same scope/names/inits) without
+    running it — shares name='ffn' so checkpoints are identical."""
+
+    dim: int
+    up: int
+    use_bias: bool = True
+    num_blocks: int = 1
+
+    @nn.compact
+    def __call__(self):
+        wgz, bgz = _DenseParams(
+            in_features=self.dim, features=2 * self.up,
+            use_bias=self.use_bias, kernel_init=small_init(self.dim),
+            name="proj_up_gate_z")()
+        wd, bd = _DenseParams(
+            in_features=self.up, features=self.dim, use_bias=self.use_bias,
+            kernel_init=wang_init(self.dim, self.num_blocks),
+            name="proj_down")()
+        return wgz, bgz, wd, bd
 
 
 class _DenseParams(nn.Module):
@@ -763,12 +804,34 @@ class ViLLayer(nn.Module):
         dp = DropPath(drop_prob=self.drop_path, training=self.training)
         xn = RMSNorm(dim, eps=1e-6, use_weight=self.norm_bias, name="norm")(x)
         x = dp(x, mlstm_branch(xn))
-        xf = RMSNorm(dim, eps=1e-6, use_weight=self.norm_bias, name="ffn_norm")(x)
-        ffn_out = FeedForward(
-            dim=dim, proj_factor=self.ffn_proj_factor,
-            round_up_to=self.ffn_round_up_to, use_bias=self.proj_bias,
-            num_blocks=self.num_blocks, dtype=self.compute_dtype, name="ffn",
-        )(xf)
+        fuse_ffn = (FFN_FUSE and self.training and self.norm_bias
+                    and x.shape[1] >= 1024)
+        if fuse_ffn:
+            # fused [ffn_norm -> gate/z -> silu*z -> down] custom VJP
+            # (ops/pallas/ffn.py) — forward math identical, backward is
+            # one Pallas kernel; param tree unchanged
+            from xlstm_yolo_tpu.ops.pallas.ffn import ffn_fused
+
+            wn = _RMSNormParams(dim, name="ffn_norm")()
+            up = int(((dim * self.ffn_proj_factor + self.ffn_round_up_to - 1)
+                      // self.ffn_round_up_to) * self.ffn_round_up_to)
+            wgz, bgz, wd2, bd2 = _FFNParams(
+                dim=dim, up=up, use_bias=self.proj_bias,
+                num_blocks=self.num_blocks, name="ffn")()
+            if bgz is None:
+                bgz = jnp.zeros((2 * up,), f32)
+            if bd2 is None:
+                bd2 = jnp.zeros((dim,), f32)
+            ffn_out = ffn_fused(x, wn, wgz, bgz, wd2, bd2, 1e-6)
+        else:
+            xf = RMSNorm(dim, eps=1e-6, use_weight=self.norm_bias,
+                         name="ffn_norm")(x)
+            ffn_out = FeedForward(
+                dim=dim, proj_factor=self.ffn_proj_factor,
+                round_up_to=self.ffn_round_up_to, use_bias=self.proj_bias,
+                num_blocks=self.num_blocks, dtype=self.compute_dtype,
+                name="ffn",
+            )(xf)
         dp2 = DropPath(drop_prob=self.drop_path, training=self.training)
         return dp2(x, ffn_out)
 
