@@ -592,9 +592,11 @@ EPI_FUSE = _os.environ.get("XY_EPI_FUSE", "1") == "1"
 
 
 # fused [ffn_norm -> FFN] training branch (custom VJP with a Pallas
-# backward, ops/pallas/ffn.py) — param-compatible; flip on measurement
-# only (scripts/exp_ffn_fuse.py)
-FFN_FUSE = _os.environ.get("XY_FFN_FUSE", "0") == "1"
+# backward, ops/pallas/ffn.py) — param-compatible.  Default ON: measured
+# 159.79 -> 158.79 ms/step median (fused faster in 4/4 interleaved
+# rounds, scripts/exp_ffn_fuse.py r5, on top of the epilogue fusion).
+# XY_FFN_FUSE=0 reverts to the plain XLA VJP path.
+FFN_FUSE = _os.environ.get("XY_FFN_FUSE", "1") == "1"
 
 
 class _RMSNormParams(nn.Module):
