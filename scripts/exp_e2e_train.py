@@ -38,10 +38,16 @@ BATCH, EPOCHS = 8, 3
 N_IMGS = 240
 
 
-def run_trainer(data_yaml: Path, device_aug: bool) -> dict:
+def run_trainer(data_yaml: Path, device_aug: bool,
+                host_aug: bool = True) -> dict:
     """Run the real trainer in a SUBPROCESS (clean env per variant) and
-    parse the per-epoch e2e img/s lines."""
+    parse the per-epoch e2e img/s lines.  ``host_aug=False`` zeroes the
+    host geometric augs (mosaic/perspective) — NOT training-equivalent,
+    but measures the pipeline ceiling once those move on-device
+    (data/device_mosaic.py is the prototype for that)."""
     cfg_path = str(REPO / "xlstm_yolo_tpu/cfg/models/vil-det-192.yaml")
+    extra = "" if host_aug else \
+        ", mosaic=0.0, translate=0.0, scale=0.0, augment=False"
     code = f"""
 import sys, tempfile; sys.path.insert(0, {str(REPO)!r})
 from xlstm_yolo_tpu.engine.trainer import DetectionTrainer
@@ -49,7 +55,7 @@ tr = DetectionTrainer(overrides=dict(
     model={cfg_path!r},
     data={str(data_yaml)!r}, imgsz=640, batch={BATCH}, epochs={EPOCHS},
     nbs={BATCH}, val=False, plots=False, workers=8, cache="ram",
-    save=False, seed=0, project=tempfile.mkdtemp(prefix="e2erun")),
+    save=False, seed=0, project=tempfile.mkdtemp(prefix="e2erun"){extra}),
     model_cfg={cfg_path!r})
 tr.train()
 """
@@ -157,8 +163,10 @@ def main():
 
     results.update(device_step_rates())
 
-    for name, aug in (("e2e_host_aug", False), ("e2e_device_aug", True)):
-        r = run_trainer(data_yaml, aug)
+    for name, aug, host in (("e2e_host_aug", False, True),
+                            ("e2e_device_aug", True, True),
+                            ("e2e_ceiling_noaug_host", True, False)):
+        r = run_trainer(data_yaml, aug, host_aug=host)
         results[name] = r
         print(f"RESULT {name}: {r['epoch_img_s']} (wall {r['wall_s']}s)",
               flush=True)

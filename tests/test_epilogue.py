@@ -126,3 +126,27 @@ def test_villayer_epi_fuse_param_and_grad_parity(monkeypatch):
         np.testing.assert_allclose(
             b, a, atol=3e-2 * scale, rtol=3e-2,
             err_msg=jax.tree_util.keystr(k))
+
+
+def test_epilogue_fused_large_mean_stability():
+    """Large per-head means: the raw-moment variance form cancels to a
+    negative -> NaN; the kernel must use the centered form (r5 e2e NaN)."""
+    B, S, H, D, NH = 1, 128, 64, 32, 4
+    h, x, ln_w, ln_b, skip, wd, bd = _make(
+        jax.random.PRNGKey(2), B, S, H, D, jnp.float32)
+    h = h + 300.0  # |mean| >> std: E[x^2]-E[x]^2 cancels in f32
+
+    def f_ref(*a):
+        return jnp.sum(epilogue_forward(*a, num_heads=NH) ** 2)
+
+    def f_fus(*a):
+        return jnp.sum(epilogue_fused(*a, NH, 1e-6) ** 2)
+
+    args = (h, x, ln_w, ln_b, skip, wd, bd)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 5))(*args)
+    g_fus = jax.grad(f_fus, argnums=(0, 1, 5))(*args)
+    for a, b in zip(g_ref, g_fus):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        assert np.isfinite(b).all()
+        scale = max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(b, a, atol=2e-4 * scale, rtol=2e-4)

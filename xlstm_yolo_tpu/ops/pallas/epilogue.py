@@ -89,13 +89,18 @@ def _bwd_kernel(h_ref, x_ref, g_ref, lnw_ref, lnb_ref, skip_ref, wd_ref,
     lnb = lnb_ref[:].astype(f32)
     skip = skip_ref[:].astype(f32)
 
-    # recompute per-head LN stats (block-diag matmuls; biased var)
+    # recompute per-head LN stats (block-diag matmuls; biased var).
+    # Variance MUST be the centered form E[(x-m)^2]: the raw-moment
+    # E[x^2]-E[x]^2 cancels catastrophically for large-mean h and goes
+    # NEGATIVE in f32 -> rsqrt = NaN (hit by real training, where the
+    # mLSTM output means grow — r5 e2e run).
     m = jax.lax.dot_general(hf, M, (((1,), (0,)), ((), ())),
                             preferred_element_type=f32)
-    msq = jax.lax.dot_general(hf * hf, M, (((1,), (0,)), ((), ())),
+    ctr = hf - m
+    var = jax.lax.dot_general(ctr * ctr, M, (((1,), (0,)), ((), ())),
                               preferred_element_type=f32)
-    rstd = jax.lax.rsqrt(msq - m * m + eps)
-    hhat = (hf - m) * rstd
+    rstd = jax.lax.rsqrt(var + eps)
+    hhat = ctr * rstd
 
     # recompute z in compute dtype (the true VJP of the cast chain uses
     # the bf16-rounded z for dWd)
