@@ -187,6 +187,25 @@ def main():
     except Exception:
         pass
 
+    # host->device upload bandwidth: the explicit ceiling for any
+    # host-fed path on this rig (VERDICT r5 item 6).  One 9.8 MB uint8
+    # batch per measurement, distinct data each time (dedup-proof).
+    upload_mb_s = -1.0
+    try:
+        rng_np = np.random.default_rng(1)
+        bufs = [np.ascontiguousarray(
+            rng_np.integers(0, 255, (BATCH, 640, 640, 3), np.uint8))
+            for _ in range(4)]
+        x = jnp.asarray(bufs[0]); _ = np.asarray(x[0, 0, 0])  # warm path
+        t0 = time.perf_counter()
+        for b in bufs[1:]:
+            x = jnp.asarray(b)
+            _ = np.asarray(x[0, 0, 0, 0])  # force completion
+        dt_up = time.perf_counter() - t0
+        upload_mb_s = 3 * bufs[0].nbytes / dt_up / 1e6
+    except Exception:
+        pass
+
     # ---- train-step benchmark (VERDICT r3: train MFU accounting) ----
     # one jitted step: fwd + v8 E2E loss + bwd + clip + SGD + EMA at
     # batch 8 (the known-safe training batch on this runtime). FLOPs =
@@ -265,6 +284,7 @@ def main():
         "vs_baseline": vs,
         "mfu": round(mfu, 4),
         "img_s_host_fed_relay_upload_bound": round(ips_host, 2),
+        "host_upload_mb_s": round(upload_mb_s, 1),
         "env_mfu": round(env_mfu, 4),
         "env_gemm_tflops": round(gemm_tflops, 1),
         "gflops_per_batch": round(gflops, 1),

@@ -15,9 +15,12 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "scripts"))
 
+import os
+
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("XY_DIAG_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -47,7 +50,7 @@ def main():
 
     tmp = Path(tempfile.mkdtemp(prefix="nandiag"))
     import exp_host_pipeline
-    exp_host_pipeline.N_IMGS = 32
+    exp_host_pipeline.N_IMGS = 240
     data_yaml = make_dataset(tmp)
     data = check_det_dataset(str(data_yaml))
     args = get_cfg(None, {"imgsz": 640, "task": "detect", "cache": "ram",
@@ -55,10 +58,13 @@ def main():
     ds = build_yolo_dataset(args, data["train"], 8, data, mode="train")
     loader = build_dataloader(ds, 8, workers=2, shuffle=True, seed=0)
     batches = []
-    for b in loader._iter_epoch(0):
-        batches.append(b)
-        if len(batches) >= steps:
-            break
+    ep = 0
+    while len(batches) < steps:
+        for b in loader._iter_epoch(ep):
+            batches.append(b)
+            if len(batches) >= steps:
+                break
+        ep += 1
 
     CFG = REPO / "xlstm_yolo_tpu" / "cfg" / "models" / "vil-det-192.yaml"
     rng = jax.random.PRNGKey(0)
@@ -67,10 +73,13 @@ def main():
     v = jax.jit(model_tr.init)(
         {"params": rng, "droppath": rng},
         jnp.zeros((8, 640, 640, 3), jnp.float32))
-    # the trainer's default optimizer family at its real warmup config
+    # the trainer's EXACT optimizer config for the e2e repro (epochs=3,
+    # 30 steps/epoch, nbs=batch -> accumulate=1)
+    sched = opt_lib.linear_lr(0.01, 0.01, 3, 30)
     tx, lr0, name = opt_lib.build_flat_optimizer(
         v["params"], name="auto", lr=0.01, momentum=0.937,
-        weight_decay=5e-4, iterations=100, warmup_steps=10, nc=80)
+        weight_decay=5e-4, schedule=sched, iterations=90,
+        warmup_steps=100, warmup_momentum=0.8, warmup_bias_lr=0.1, nc=80)
     print(f"optimizer: {name} lr0={lr0}")
     state = FlatTrainState.create(v, tx)
     step = jax.jit(make_train_step(model_tr, tx, nc=80, accumulate=1))
@@ -81,10 +90,16 @@ def main():
         srng, sub = jax.random.split(srng)
         state, m = step(state, db, sub)
         vals = {k: float(m[k]) for k in m}
-        print(f"step {i}: " + " ".join(f"{k}={v:.4f}" for k, v in vals.items()),
-              flush=True)
-        pnorm = float(jnp.linalg.norm(state.flat_params[:10000]))
-        print(f"  param head norm: {pnorm:.4f}", flush=True)
+        pnorm = float(jnp.linalg.norm(state.flat_params))
+        enorm = float(jnp.linalg.norm(state.ema_flat))
+        print(f"step {i}: "
+              + " ".join(f"{k}={v:.4f}" for k, v in vals.items())
+              + f" |p|={pnorm:.4f} |ema|={enorm:.4f}", flush=True)
+        if not np.isfinite(vals.get("loss", 0.0)):
+            print(f"NONFINITE at step {i}", flush=True)
+            np.save("/tmp/tpu_queue/nan_step_batch.npy",
+                    {k: np.asarray(hb[k]) for k in db}, allow_pickle=True)
+            break
 
 
 if __name__ == "__main__":
