@@ -174,3 +174,37 @@ def test_pick_chunk_size():
     assert pick_chunk_size(400, 256) == 200
     assert pick_chunk_size(100, 64) == 50
     assert pick_chunk_size(512, 512) == 512
+
+
+def test_chunkwise_siging_grads_finite_with_closed_fgates():
+    """r5 real-training NaN: with trained (negative) forget-gate preacts
+    the masked upper-triangle logD is large POSITIVE; exp must be masked
+    BEFORE exponentiation or where()'s VJP makes 0*inf=NaN gradients
+    while the forward stays finite (ops/mlstm_chunkwise.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xlstm_yolo_tpu.ops.mlstm_chunkwise import mlstm_siging_chunkwise
+
+    B, NH, S, DH, L = 1, 2, 128, 16, 64
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    q = jax.random.normal(ks[0], (B, NH, S, DH), jnp.float32)
+    k = jax.random.normal(ks[1], (B, NH, S, DH), jnp.float32)
+    v = jax.random.normal(ks[2], (B, NH, S, DH), jnp.float32)
+    i = jax.random.normal(ks[3], (B, NH, S), jnp.float32)
+    # strongly closed forget gates: logsig(f) ~ -4 per step -> logD's
+    # masked entries reach ~ +250 >> f32 exp overflow (88)
+    f = jnp.full((B, NH, S), -4.0) + 0.1 * jax.random.normal(
+        ks[4], (B, NH, S), jnp.float32)
+
+    def scal(q, k, v, i, f):
+        h = mlstm_siging_chunkwise(q, k, v, i, f, chunk_size=L)
+        h = h[0] if isinstance(h, tuple) else h
+        return jnp.sum(h.astype(jnp.float32) ** 2)
+
+    val = float(scal(q, k, v, i, f))
+    assert np.isfinite(val)
+    grads = jax.grad(scal, argnums=(0, 1, 2, 3, 4))(q, k, v, i, f)
+    for name, g in zip("qkvif", grads):
+        assert bool(jnp.isfinite(g).all()), f"non-finite grad for {name}"

@@ -161,7 +161,16 @@ def mlstm_siging_chunkwise(
     ltr = jnp.tril(jnp.ones((L, L), dtype=bool))
     logi_c = jax.nn.log_sigmoid(i.astype(f32)).reshape(B, NH, NC, L)
     logD = vecB[..., :, None] - vecB[..., None, :] + logi_c[..., None, :]
-    matD = jnp.where(ltr, jnp.exp(logD), 0.0)  # (B, NH, NC, L, L)
+    # mask BEFORE exp: the masked upper triangle has b[l]-b[j] > 0 which
+    # OVERFLOWS exp once trained f-gates close (b spans hundreds of
+    # logsig steps), and where(ltr, exp(logD), 0)'s VJP then multiplies
+    # the inf by the zeroed cotangent -> NaN gradients with a finite
+    # forward (the r5 real-training NaN at step ~28; the fw value was
+    # always fine because where masked the inf).  exp(-inf) = 0 with a
+    # zero derivative, so masking the argument is exact in fw AND bw.
+    # (The exp-gate variant below and both parallel paths already mask
+    # their log matrices this way — this was the one unmasked site.)
+    matD = jnp.exp(jnp.where(ltr, logD, -jnp.inf))  # (B, NH, NC, L, L)
 
     matS = jnp.einsum(
         "bhnld,bhnjd->bhnlj", qc.astype(cd), kc.astype(cd), preferred_element_type=f32
