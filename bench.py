@@ -188,21 +188,24 @@ def main():
         pass
 
     # host->device upload bandwidth: the explicit ceiling for any
-    # host-fed path on this rig (VERDICT r5 item 6).  One 9.8 MB uint8
-    # batch per measurement, distinct data each time (dedup-proof).
+    # host-fed path on this rig (VERDICT r5 item 6).  PIPELINED form —
+    # dispatch all uploads, then one tiny fetch as the barrier (a
+    # per-upload sync measures the relay's round-trip latency instead:
+    # ~2.5 MB/s apparent vs ~50 MB/s pipelined).  Distinct buffers
+    # (dedup-proof); 9.8 MB uint8 batches.
     upload_mb_s = -1.0
     try:
         rng_np = np.random.default_rng(1)
         bufs = [np.ascontiguousarray(
             rng_np.integers(0, 255, (BATCH, 640, 640, 3), np.uint8))
-            for _ in range(4)]
-        x = jnp.asarray(bufs[0]); _ = np.asarray(x[0, 0, 0])  # warm path
+            for _ in range(7)]
+        red = jax.jit(lambda a: a.astype(jnp.int32)[0, 0, 0].sum())
+        _ = int(red(jnp.asarray(bufs[0])))  # warm path + compile
         t0 = time.perf_counter()
-        for b in bufs[1:]:
-            x = jnp.asarray(b)
-            _ = np.asarray(x[0, 0, 0, 0])  # force completion
+        outs = [red(jnp.asarray(b)) for b in bufs[1:]]
+        _ = int(outs[-1])  # ordered execution: barrier for all uploads
         dt_up = time.perf_counter() - t0
-        upload_mb_s = 3 * bufs[0].nbytes / dt_up / 1e6
+        upload_mb_s = (len(bufs) - 1) * bufs[0].nbytes / dt_up / 1e6
     except Exception:
         pass
 
@@ -264,6 +267,11 @@ def main():
             lambda s, b, r: step(s, b, r), state, tbatches[0], srng
         )
         tr_gflops += 3.0 * _pallas_hidden_gflops(model_tr.specs, BATCH)
+        # NOTE (r5): the fused epilogue/FFN custom-VJP backwards moved
+        # ~80 GFLOP/step of XLA elementwise+GEMM VJPs into Pallas custom
+        # calls invisible to the cost analysis, so train_mfu reads ~1pt
+        # LOW vs r4's accounting at an equal-or-faster step (158.5 vs
+        # 165.4 ms driver-verified).
         train_mfu = model_mfu(dt_tr / T_IT, tr_gflops * 1e9) if tr_gflops > 0 else -1.0
     except Exception as e:  # the predict headline must survive train-bench issues
         print(f"# train bench failed: {type(e).__name__}: {e}", flush=True)
